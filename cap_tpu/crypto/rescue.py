@@ -1,0 +1,186 @@
+"""Rescue permutation, sponge, PRF and commitment over a prime field.
+
+Mirrors the consumed `jf-primitives::rescue` surface (SURVEY.md §2.2;
+reference usage: src/structs.rs:91,1035-1053, src/keys.rs:558-597).  Instance:
+state width 4, rate 3, capacity 1, S-box x^5 / x^(1/5), 12 rounds with 25
+round-key injections, MDS mixing each half-round — the same *shape* as the
+jellyfish BN254 instance.
+
+The MDS matrix and round constants are generated deterministically here
+(SHAKE-256 expansion; Cauchy-matrix MDS) rather than copied from jellyfish's
+hard-coded tables.  The whole stack (host hashing, circuit gadgets, device
+kernels) keys off this module, so it stays self-consistent; dropping in a
+different constants table is a data-only change localized to `RescueParams`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from functools import lru_cache
+
+from cap_tpu.fields.host import FR, PrimeField
+
+STATE_WIDTH = 4
+RATE = 3
+CAPACITY = 1
+ROUNDS = 12
+ALPHA = 5
+
+
+@dataclass(frozen=True)
+class RescueParams:
+    field: PrimeField
+    alpha: int
+    alpha_inv: int  # inverse of alpha mod p-1  (exponent for the inverse S-box)
+    mds: tuple            # 4x4 matrix, row-major tuples
+    round_keys: tuple     # 25 tuples of width 4 (K0 .. K24)
+
+
+def _expand_field_elements(field: PrimeField, label: bytes, count: int) -> list[int]:
+    """Deterministic uniform field elements via SHAKE-256 rejection sampling."""
+    out = []
+    ctr = 0
+    while len(out) < count:
+        h = hashlib.shake_256()
+        h.update(b"cap-tpu/rescue-v1")
+        h.update(label)
+        h.update(ctr.to_bytes(8, "little"))
+        v = int.from_bytes(h.digest(48), "little") % field.p
+        out.append(v)
+        ctr += 1
+    return out
+
+
+@lru_cache(maxsize=None)
+def rescue_params(field: PrimeField = FR) -> RescueParams:
+    p = field.p
+    assert (p - 1) % ALPHA != 0, "alpha must be coprime to p-1"
+    alpha_inv = pow(ALPHA, -1, p - 1)
+    # Cauchy matrix M[i][j] = 1/(x_i + y_j) with all x_i + y_j distinct & nonzero
+    xs = list(range(STATE_WIDTH))
+    ys = list(range(STATE_WIDTH, 2 * STATE_WIDTH))
+    mds = tuple(
+        tuple(field.inv(xs[i] + ys[j]) for j in range(STATE_WIDTH))
+        for i in range(STATE_WIDTH)
+    )
+    flat = _expand_field_elements(field, b"round-keys", (2 * ROUNDS + 1) * STATE_WIDTH)
+    round_keys = tuple(
+        tuple(flat[r * STATE_WIDTH : (r + 1) * STATE_WIDTH])
+        for r in range(2 * ROUNDS + 1)
+    )
+    return RescueParams(field, ALPHA, alpha_inv, mds, round_keys)
+
+
+class RescuePermutation:
+    """Width-4 Rescue permutation plus the derived symmetric primitives."""
+
+    def __init__(self, field: PrimeField = FR):
+        self.field = field
+        self.params = rescue_params(field)
+
+    # -- core permutation ---------------------------------------------------
+    def _mds_mul(self, state, key):
+        f = self.field
+        m = self.params.mds
+        return [
+            (sum(m[i][j] * state[j] for j in range(STATE_WIDTH)) + key[i]) % f.p
+            for i in range(STATE_WIDTH)
+        ]
+
+    def permute(self, state):
+        """One full permutation of a 4-element state (list of ints)."""
+        f = self.field
+        pr = self.params
+        assert len(state) == STATE_WIDTH
+        s = [(state[i] + pr.round_keys[0][i]) % f.p for i in range(STATE_WIDTH)]
+        for r in range(ROUNDS):
+            s = self._mds_mul([pow(x, pr.alpha, f.p) for x in s], pr.round_keys[2 * r + 1])
+            s = self._mds_mul([pow(x, pr.alpha_inv, f.p) for x in s], pr.round_keys[2 * r + 2])
+        return s
+
+    # -- sponge -------------------------------------------------------------
+    def sponge_no_padding(self, inputs, num_outputs: int = 1):
+        assert len(inputs) % RATE == 0, "no-padding sponge needs multiple of rate"
+        return self._sponge(inputs, num_outputs, iv=0)
+
+    def sponge_with_padding(self, inputs, num_outputs: int = 1):
+        padded = list(inputs) + [1]
+        padded += [0] * ((-len(padded)) % RATE)
+        return self._sponge(padded, num_outputs, iv=0)
+
+    def _sponge(self, inputs, num_outputs: int, iv: int):
+        f = self.field
+        state = [0, 0, 0, iv % f.p]
+        for off in range(0, len(inputs), RATE):
+            for i, v in enumerate(inputs[off : off + RATE]):
+                state[i] = (state[i] + v) % f.p
+            state = self.permute(state)
+        out = []
+        while True:
+            out.extend(state[:RATE])
+            if len(out) >= num_outputs:
+                return out[:num_outputs]
+            state = self.permute(state)
+
+    def hash_3_to_1(self, a: int, b: int, c: int) -> int:
+        """`Permutation::hash_3_to_1` twin (reference src/keys.rs:563-567)."""
+        return self.sponge_no_padding([a, b, c], 1)[0]
+
+
+class RescuePRF:
+    """Rescue-based PRF — `jf_primitives::prf::PRF` twin (src/keys.rs:589-596).
+
+    Spec: state = [0, 0, 0, key]; absorb inputs zero-padded to a multiple of
+    the rate; squeeze `out_len` elements.  The input length is fixed per use
+    site (uid/commitment pairs, asset-code digests), so zero-padding is safe.
+    """
+
+    def __init__(self, input_len: int, output_len: int, field: PrimeField = FR):
+        self.input_len = input_len
+        self.output_len = output_len
+        self.perm = RescuePermutation(field)
+        self.field = field
+
+    def eval(self, key: int, inputs) -> list[int]:
+        assert len(inputs) == self.input_len
+        f = self.field
+        padded = list(inputs) + [0] * ((-len(inputs)) % RATE)
+        state = [0, 0, 0, key % f.p]
+        for off in range(0, len(padded), RATE):
+            for i, v in enumerate(padded[off : off + RATE]):
+                state[i] = (state[i] + v) % f.p
+            state = self.perm.permute(state)
+        out = []
+        while True:
+            out.extend(state[:RATE])
+            if len(out) >= self.output_len:
+                return out[: self.output_len]
+            state = self.perm.permute(state)
+
+
+class RescueCommitment:
+    """Rescue sponge commitment — `jf_primitives::commitment` twin.
+
+    Spec (self-defined, mirrored by the circuit gadget): initial state
+    [0,0,0, input_len + 1] (length-domain-separation in the capacity), absorb
+    [blind, inputs...] zero-padded to a multiple of the rate, squeeze 1.
+    Used for record commitments (reference src/structs.rs:1035-1053).
+    """
+
+    def __init__(self, input_len: int, field: PrimeField = FR):
+        self.input_len = input_len
+        self.perm = RescuePermutation(field)
+        self.field = field
+
+    def commit(self, inputs, blind: int) -> int:
+        assert len(inputs) == self.input_len
+        f = self.field
+        msg = [blind % f.p] + [v % f.p for v in inputs]
+        msg += [0] * ((-len(msg)) % RATE)
+        state = [0, 0, 0, (self.input_len + 1) % f.p]
+        for off in range(0, len(msg), RATE):
+            for i, v in enumerate(msg[off : off + RATE]):
+                state[i] = (state[i] + v) % f.p
+            state = self.perm.permute(state)
+        return state[0]
