@@ -131,6 +131,71 @@ def g1_mul(pt, k: int):
     return acc
 
 
+def g1j_from_affine(pt):
+    """Affine/None -> Jacobian (X, Y, Z)."""
+    if pt is None:
+        return (1, 1, 0)
+    return (pt[0], pt[1], 1)
+
+
+def g1j_to_affine(j):
+    x, y, z = j
+    if z == 0:
+        return None
+    zi = pow(z, -1, P)
+    zi2 = zi * zi % P
+    return (x * zi2 % P, y * zi2 % P * zi % P)
+
+
+def g1j_double(j):
+    x, y, z = j
+    if z == 0 or y == 0:
+        return (1, 1, 0) if z == 0 else g1j_double_nonzero(j)
+    return g1j_double_nonzero(j)
+
+
+def g1j_double_nonzero(j):
+    x, y, z = j
+    a = x * x % P
+    b = y * y % P
+    c = b * b % P
+    d = 2 * ((x + b) * (x + b) % P - a - c) % P
+    e = 3 * a % P
+    f = e * e % P
+    x3 = (f - 2 * d) % P
+    y3 = (e * (d - x3) - 8 * c) % P
+    z3 = 2 * y * z % P
+    return (x3, y3, z3)
+
+
+def g1j_add(j1, j2):
+    x1, y1, z1 = j1
+    x2, y2, z2 = j2
+    if z1 == 0:
+        return j2
+    if z2 == 0:
+        return j1
+    z1z1 = z1 * z1 % P
+    z2z2 = z2 * z2 % P
+    u1 = x1 * z2z2 % P
+    u2 = x2 * z1z1 % P
+    s1 = y1 * z2z2 % P * z2 % P
+    s2 = y2 * z1z1 % P * z1 % P
+    if u1 == u2:
+        if s1 != s2:
+            return (1, 1, 0)
+        return g1j_double(j1)
+    h = (u2 - u1) % P
+    i = 4 * h * h % P
+    jj = h * i % P
+    r = 2 * (s2 - s1) % P
+    v = u1 * i % P
+    x3 = (r * r - jj - 2 * v) % P
+    y3 = (r * (v - x3) - 2 * s1 * jj) % P
+    z3 = 2 * h % P * z1 % P * z2 % P
+    return (x3, y3, z3)
+
+
 def g1_msm_host(scalars, points):
     """Naive host MSM (ground truth for the device Pippenger kernels)."""
     acc = None

@@ -1,0 +1,181 @@
+"""Multi-scalar multiplication on device (the prover's #1 hot kernel).
+
+KZG commitments are MSMs over the fixed SRS (SURVEY.md §2.2: arkworks
+Pippenger → "bucket-sharded Pippenger over ICI").  Round-1 design: a fully
+dense, branch-free **per-bit masked reduction** —
+
+    result = sum_b 2^b * T_b,   T_b = sum_{i : bit_b(s_i)=1} P_i
+
+Per bit, T_b is computed in two fixed-shape phases so the compiled graph
+stays tiny (a couple of `ec_add` instances inside `fori_loop`s):
+
+  phase 1: chunk accumulation — CHUNK point-lanes sweep the n points,
+           masked-selecting P_i or the identity (complete formulas make the
+           identity a true neutral element, so masking is free of branches);
+  phase 2: lane folding — the CHUNK partial sums are halved log2(CHUNK)
+           times by adding a rolled copy of the lane vector.
+
+The outer loop runs MSB-first with acc = 2*acc + T_b.  Zero scatter/gather,
+zero data-dependent shapes; sharding across chips splits the point axis and
+psum-reduces T_b (cap_tpu.parallel).  A sort-based Pippenger with bucket
+compaction is the planned upgrade; this version is the correctness and
+scaling anchor.
+
+Scalars arrive as *plain* (non-Montgomery) 16x16-bit limb arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cap_tpu.fields.host import FR, LIMB_BITS, NLIMBS
+from cap_tpu.ops import ec
+from cap_tpu.ops.limbs import ints_to_limbs
+
+SCALAR_BITS = 254
+CHUNK = 256
+
+
+def scalars_to_device(scalars) -> jnp.ndarray:
+    """Host ints (mod r) -> [n, 16] plain limb array."""
+    return jnp.asarray(ints_to_limbs([s % FR.p for s in scalars]))
+
+
+def pad_msm_inputs(points_host, scalars_host, chunk: int = CHUNK):
+    """Pad to a multiple of `chunk` with identity points / zero scalars."""
+    n = len(points_host)
+    pad = (-n) % chunk
+    pts = list(points_host) + [None] * pad
+    scs = list(scalars_host) + [0] * pad
+    px, py, pz = ec.points_to_device(pts)
+    return (px, py, pz), scalars_to_device(scs)
+
+
+def _bits_of(scalars, b):
+    """Bit b (traced) of each scalar row: [n] uint32 in {0,1}."""
+    limb = b // LIMB_BITS
+    shift = (b % LIMB_BITS).astype(jnp.uint32) if hasattr(b, "astype") else b % LIMB_BITS
+    col = lax.dynamic_slice_in_dim(scalars, limb, 1, axis=1)[:, 0]
+    return (col >> shift) & 1
+
+
+def scalar_bits(scalars):
+    """All bits of [n,16] plain limb scalars: [n, 254] uint32 in {0,1}."""
+    shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
+    b = (scalars[:, :, None] >> shifts[None, None, :]) & 1  # [n, 16, 16]
+    return b.reshape(scalars.shape[0], NLIMBS * LIMB_BITS)[:, :SCALAR_BITS]
+
+
+def msm_device(points, scalars):
+    """Device part of the MSM: per-bit sums T_b = sum_{bit_b(s_i)} P_i.
+
+    Maintains all SCALAR_BITS bit-accumulators as one [254, CHUNK] lane array
+    so every chunk step is a single ~65k-lane complete EC add (launch-count
+    is n/CHUNK, not n*bits/CHUNK — TPU kernels need the work per launch).
+    Returns [254]-batched projective points.
+    """
+    px, py, pz = points
+    n = px.shape[0]
+    assert n % CHUNK == 0, "pad inputs with pad_msm_inputs"
+    nchunks = n // CHUNK
+    bits = scalar_bits(scalars)  # [n, 254]
+    ident = ec.identity((SCALAR_BITS, CHUNK))
+
+    def chunk_body(k, t_acc):
+        sl = tuple(
+            lax.dynamic_slice_in_dim(c, k * CHUNK, CHUNK, axis=0)
+            for c in (px, py, pz)
+        )
+        bc = lax.dynamic_slice_in_dim(bits, k * CHUNK, CHUNK, axis=0)  # [CHUNK,254]
+        mask = jnp.transpose(bc).astype(jnp.bool_)                     # [254,CHUNK]
+        slb = tuple(
+            jnp.broadcast_to(c[None], (SCALAR_BITS, CHUNK, NLIMBS)) for c in sl
+        )
+        sel = ec.ec_select(mask, slb, ident)
+        return ec.ec_add(t_acc, sel)
+
+    t_acc = lax.fori_loop(0, nchunks, chunk_body, ident)
+
+    # fold the CHUNK lanes (axis 1) with a halving tree — static shapes
+    width = CHUNK
+    while width > 1:
+        half = width // 2
+        lo = tuple(c[:, :half] for c in t_acc)
+        hi = tuple(c[:, half:width] for c in t_acc)
+        t_acc = ec.ec_add(lo, hi)
+        width = half
+    return tuple(c[:, 0] for c in t_acc)  # [254] points, index = bit
+
+
+def horner_bits_host(t_bits_host) -> tuple:
+    """Host fold: sum_b 2^b T_b via Jacobian double-and-add (254 tiny steps
+    — sequential, so host bigint beats launching 500 one-lane TPU kernels).
+
+    t_bits_host: list of 254 affine-or-None host points (bit 0 first).
+    Returns affine host point or None.
+    """
+    from cap_tpu.crypto.bn254 import g1j_add, g1j_double, g1j_from_affine, g1j_to_affine
+
+    acc = (1, 1, 0)
+    for pt in reversed(t_bits_host):
+        acc = g1j_double(acc)
+        if pt is not None:
+            acc = g1j_add(acc, g1j_from_affine(pt))
+    return g1j_to_affine(acc)
+
+
+def tbits_to_host(t_bits) -> list:
+    """[254]-batched projective device points -> list of host affine points."""
+    import numpy as np
+    from cap_tpu.fields.host import FQ
+    from cap_tpu.ops.limbs import limbs_to_ints
+
+    xs = limbs_to_ints(np.asarray(t_bits[0]), FQ)
+    ys = limbs_to_ints(np.asarray(t_bits[1]), FQ)
+    zs = limbs_to_ints(np.asarray(t_bits[2]), FQ)
+    out = []
+    nz = [(i, z) for i, z in enumerate(zs) if z != 0]
+    zinvs = FQ.batch_inv([z for _, z in nz]) if nz else []
+    zmap = {i: zi for (i, _), zi in zip(nz, zinvs)}
+    for i in range(len(xs)):
+        if zs[i] == 0:
+            out.append(None)
+        else:
+            zi = zmap[i]
+            out.append((xs[i] * zi % FQ.p, ys[i] * zi % FQ.p))
+    return out
+
+
+def msm(points, scalars):
+    """Full MSM: device bit-sums + host Horner.  Returns host affine point."""
+    t_bits = msm_device(points, scalars)
+    return horner_bits_host(tbits_to_host(t_bits))
+
+
+def batch_scalar_mul_gen(scalars, base_pow_table):
+    """[s_i * G] for many scalars of a fixed base G.
+
+    base_pow_table: (x, y, z) projective Montgomery arrays of [2^k * G] for
+    k in 0..253 (host-precomputed).  Used for test-SRS generation on device.
+    Returns projective [n]-batched points.
+    """
+    n = scalars.shape[0]
+    tx, ty, tz = base_pow_table
+
+    def body(k, acc):
+        mask = _bits_of(scalars, k).astype(jnp.bool_)
+        pk = tuple(jnp.broadcast_to(c[k], (n, NLIMBS)) for c in (tx, ty, tz))
+        cand = ec.ec_add(acc, pk)
+        return ec.ec_select(mask, cand, acc)
+
+    return lax.fori_loop(0, SCALAR_BITS, body, ec.identity((n,)))
+
+
+def msm_host_check(points_host, scalars_host):
+    """Host ground truth (tiny sizes only)."""
+    from cap_tpu.crypto.bn254 import g1_msm_host
+
+    return g1_msm_host(scalars_host, points_host)

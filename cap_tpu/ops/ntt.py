@@ -1,0 +1,163 @@
+"""Radix-2 NTT / iNTT over the circuit field, vectorized on limb arrays.
+
+The prover's polynomial engine (SURVEY.md §7 Stage 4): wire/selector/sigma
+polynomials move between coefficient and evaluation form here, and the
+quotient polynomial is computed on an 8n coset.  All butterflies are
+vectorized over [n/2, 16]-limb arrays; the stage loop is unrolled at trace
+time (log2(n) static stages), which XLA fuses into a handful of kernels.
+
+Sharded multi-chip NTT (butterfly stages with `all_to_all` over ICI) lives in
+cap_tpu.parallel; this module is the single-chip core it builds on.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cap_tpu.fields.host import FR, NLIMBS, PrimeField
+from cap_tpu.ops import field_jax as fj
+from cap_tpu.ops.limbs import ints_to_limbs
+
+
+def _bit_reverse_perm(n: int) -> np.ndarray:
+    logn = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(logn):
+        rev |= ((idx >> b) & 1) << (logn - 1 - b)
+    return rev
+
+
+@dataclass(frozen=True)
+class NttDomain:
+    """Host-precomputed constants for a size-n radix-2 evaluation domain."""
+
+    n: int
+    field: PrimeField
+    omega: int
+    omega_inv: int
+    n_inv: int
+    bitrev: np.ndarray                     # [n] int64
+    stage_tw: tuple                        # per-stage [m/2,16] fwd twiddles (Montgomery)
+    stage_tw_inv: tuple                    # same for inverse
+    n_inv_mont: np.ndarray                 # [16] Montgomery n^-1
+
+    def elements(self) -> list[int]:
+        """Host list [1, w, w^2, ...] (plain ints)."""
+        out = [1]
+        for _ in range(self.n - 1):
+            out.append(out[-1] * self.omega % self.field.p)
+        return out
+
+    def vanishing_eval(self, x: int) -> int:
+        """Z_H(x) = x^n - 1 evaluated on the host."""
+        return (pow(x, self.n, self.field.p) - 1) % self.field.p
+
+
+@lru_cache(maxsize=None)
+def get_domain(n: int, field: PrimeField = FR) -> NttDomain:
+    assert n & (n - 1) == 0 and n >= 2
+    p = field.p
+    omega = field.root_of_unity(n)
+    omega_inv = pow(omega, -1, p)
+    n_inv = pow(n, -1, p)
+    logn = n.bit_length() - 1
+
+    def stage_tables(w):
+        tables = []
+        for s in range(1, logn + 1):
+            m = 1 << s
+            wm = pow(w, n // m, p)
+            pows = [1]
+            for _ in range(m // 2 - 1):
+                pows.append(pows[-1] * wm % p)
+            tables.append(ints_to_limbs(pows, field))
+        return tuple(tables)
+
+    return NttDomain(
+        n=n,
+        field=field,
+        omega=omega,
+        omega_inv=omega_inv,
+        n_inv=n_inv,
+        bitrev=_bit_reverse_perm(n),
+        stage_tw=stage_tables(omega),
+        stage_tw_inv=stage_tables(omega_inv),
+        n_inv_mont=ints_to_limbs([n_inv], field)[0],
+    )
+
+
+def _ntt_core(x, stage_tables, n: int):
+    logn = n.bit_length() - 1
+    for s in range(1, logn + 1):
+        m = 1 << s
+        tw = jnp.asarray(stage_tables[s - 1])          # [m/2, 16]
+        xr = x.reshape(n // m, 2, m // 2, NLIMBS)
+        u = xr[:, 0]
+        v = fj.mont_mul(xr[:, 1], tw[None, :, :])
+        x = jnp.stack([fj.add(u, v), fj.sub(u, v)], axis=1).reshape(n, NLIMBS)
+    return x
+
+
+def ntt(coeffs, domain: NttDomain):
+    """Coefficients -> evaluations on H (natural order). [n,16] Montgomery."""
+    x = coeffs[jnp.asarray(domain.bitrev)]
+    return _ntt_core(x, domain.stage_tw, domain.n)
+
+
+def intt(evals, domain: NttDomain):
+    """Evaluations on H -> coefficients. [n,16] Montgomery."""
+    x = evals[jnp.asarray(domain.bitrev)]
+    x = _ntt_core(x, domain.stage_tw_inv, domain.n)
+    scale = jnp.broadcast_to(jnp.asarray(domain.n_inv_mont), x.shape)
+    return fj.mont_mul(x, scale)
+
+
+@lru_cache(maxsize=None)
+def _coset_tables(n: int, shift: int, field: PrimeField = FR):
+    p = field.p
+    pows = [1]
+    for _ in range(n - 1):
+        pows.append(pows[-1] * shift % p)
+    inv_shift = pow(shift, -1, p)
+    inv_pows = [1]
+    for _ in range(n - 1):
+        inv_pows.append(inv_pows[-1] * inv_shift % p)
+    return ints_to_limbs(pows, field), ints_to_limbs(inv_pows, field)
+
+
+def coset_ntt(coeffs, domain: NttDomain, shift: int):
+    """Evaluate on the coset shift*H: scale coefficient i by shift^i, then NTT."""
+    pows, _ = _coset_tables(domain.n, shift, domain.field)
+    scaled = fj.mont_mul(coeffs, jnp.asarray(pows))
+    return ntt(scaled, domain)
+
+
+def coset_intt(evals, domain: NttDomain, shift: int):
+    """Inverse of coset_ntt."""
+    _, inv_pows = _coset_tables(domain.n, shift, domain.field)
+    coeffs = intt(evals, domain)
+    return fj.mont_mul(coeffs, jnp.asarray(inv_pows))
+
+
+# ---------------------------------------------------------------------------
+# host reference (tests ground-truth against this)
+# ---------------------------------------------------------------------------
+
+
+def ntt_host(coeffs: list[int], domain: NttDomain) -> list[int]:
+    p = domain.field.p
+    els = domain.elements()
+    out = []
+    for i in range(domain.n):
+        acc = 0
+        x = els[i]
+        for c in reversed(coeffs):
+            acc = (acc * x + c) % p
+        out.append(acc)
+    return out

@@ -1,0 +1,60 @@
+"""In-circuit Schnorr signature verification (credential checks).
+
+Twin of `SignatureGadget::check_signature_validity` (SURVEY.md §2.2;
+reference usage: src/circuit/structs.rs:424-429 credential verification).
+MUST mirror cap_tpu.crypto.schnorr: the challenge is the Rescue sponge over
+[CS_ID, R.x, R.y, vk.x, vk.y, msg..., zero-pad], and the verification
+equation is s*G == R + c*vk with the FULL (unreduced) Fr challenge as the
+vk scalar — both sides use it as an integer, so host and circuit agree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from cap_tpu.crypto.jubjub import GENERATOR
+from cap_tpu.crypto.schnorr import CS_ID_SCHNORR, SchnorrSignature
+from cap_tpu.plonk.circuit import PlonkCircuit
+from cap_tpu.plonk.gadgets import ecc
+from cap_tpu.plonk.gadgets.rescue import (
+    _constant_var,
+    rescue_sponge_no_padding_gadget,
+)
+
+
+@dataclass(frozen=True)
+class SignatureVar:
+    sig_r: ecc.PointVariable
+    s: int  # response scalar var
+
+
+def create_signature_variable(c: PlonkCircuit, sig: SchnorrSignature) -> SignatureVar:
+    return SignatureVar(ecc.create_point_variable(c, sig.sig_r), c.create_variable(sig.s))
+
+
+def challenge_gadget(c: PlonkCircuit, vk: ecc.PointVariable, sig_r: ecc.PointVariable, msg_vars) -> int:
+    inputs = [_constant_var(c, CS_ID_SCHNORR), sig_r.x, sig_r.y, vk.x, vk.y] + list(msg_vars)
+    inputs += [c.zero] * ((-len(inputs)) % 3)
+    return rescue_sponge_no_padding_gadget(c, inputs, 1)[0]
+
+
+def check_signature_validity(
+    c: PlonkCircuit, vk: ecc.PointVariable, msg_vars, sig: SignatureVar
+) -> int:
+    """Boolean var: signature valid.  (Callers either enforce_true it or
+    fold it into policy logic.)"""
+    ch = challenge_gadget(c, vk, sig.sig_r, msg_vars)
+    ch_bits = c.unpack_with_wrap(ch, 254)
+    lhs = ecc.fixed_base_scalar_mul(c, sig.s, GENERATOR, 251)
+    rhs = ecc.ecc_add(c, sig.sig_r, ecc.scalar_mul_bits_variable_base(c, ch_bits, vk))
+    return ecc.is_point_equal(c, lhs, rhs)
+
+
+def enforce_signature_validity(
+    c: PlonkCircuit, vk: ecc.PointVariable, msg_vars, sig: SignatureVar
+) -> None:
+    ch = challenge_gadget(c, vk, sig.sig_r, msg_vars)
+    ch_bits = c.unpack_with_wrap(ch, 254)
+    lhs = ecc.fixed_base_scalar_mul(c, sig.s, GENERATOR, 251)
+    rhs = ecc.ecc_add(c, sig.sig_r, ecc.scalar_mul_bits_variable_base(c, ch_bits, vk))
+    ecc.enforce_point_equal(c, lhs, rhs)

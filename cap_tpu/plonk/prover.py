@@ -1,0 +1,474 @@
+"""TurboPlonk prover + preprocessing, orchestrating the device kernels.
+
+Pipeline per proof (SURVEY.md §3.1 bottom box — the hot loop):
+  round 1: wire evals -> iNTT -> blind -> 5 KZG commits           (device)
+  round 2: permutation grand product (scan) -> iNTT -> commit     (device)
+  round 3: quotient on the 8n coset -> iNTT -> split -> 5 commits (device)
+  round 4: polynomial evaluations at zeta                         (device)
+  round 5: linearization + two batched opening proofs             (device)
+with Keccak Fiat–Shamir on the host between rounds (transcript.py).
+
+All device phases are jitted per domain size and cached; proving keys hold
+the big coset tables on device.  Montgomery limb layout throughout.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cap_tpu.fields.host import FR, NLIMBS
+from cap_tpu.ops import field_jax as fj
+from cap_tpu.ops.limbs import ints_to_limbs, limbs_to_int, limbs_to_ints
+from cap_tpu.ops.ntt import coset_intt, coset_ntt, get_domain, intt, ntt
+from cap_tpu.ops import ec
+from cap_tpu.plonk import srs as srs_mod
+from cap_tpu.plonk.circuit import SELECTORS, PlonkCircuit
+from cap_tpu.plonk.structs import PlonkProof, ProvingKey, VerifyingKey
+from cap_tpu.plonk.transcript import Transcript
+
+COSET_SHIFT_FOR = lru_cache(maxsize=None)(
+    lambda n: FR.multiplicative_generator()
+)
+
+
+def _mont(v: int):
+    return jnp.asarray(ints_to_limbs([v], FR)[0])
+
+
+def _mont_many(vs):
+    return jnp.asarray(ints_to_limbs(list(vs), FR))
+
+
+from cap_tpu.ops import msm as msm_mod
+
+_msm_many_dev = jax.jit(
+    lambda pts, coeffs: jax.vmap(lambda s: msm_mod.msm_device(pts, s))(coeffs)
+)
+
+
+def srs_pad(c, m):
+    """Zero-pad a [k,16] coefficient array to [m,16]."""
+    return jnp.concatenate([c, jnp.zeros((m - c.shape[0], NLIMBS), jnp.uint32)], axis=0)
+
+
+def commit_batch(srs, coeffs_plain_batch) -> list:
+    """Commit [k, m, 16] plain coefficient arrays -> k host affine points."""
+    k, m, _ = coeffs_plain_batch.shape
+    pts = srs_mod._padded_points(srs, m)
+    padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, pts[0].shape[0])
+    tb = _msm_many_dev(pts, padded)
+    tb_np = tuple(np.asarray(c) for c in tb)
+    out = []
+    for i in range(k):
+        tbi = tuple(c[i] for c in tb_np)
+        out.append(msm_mod.horner_bits_host(msm_mod.tbits_to_host(tbi)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# per-domain jitted kernels
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _kernels(n: int):
+    dom = get_domain(n)
+    dom8 = get_domain(8 * n)
+    dom2 = get_domain(2 * n)
+    g = COSET_SHIFT_FOR(n)
+
+    def _pad(c, m):
+        return jnp.concatenate(
+            [c, jnp.zeros((m - c.shape[0], NLIMBS), jnp.uint32)], axis=0
+        )
+
+    @jax.jit
+    def wires_phase(wire_evals, blinds):
+        """[5,n,16] evals + [5,2,16] blinds -> ([5,n+2,16] mont, plain)."""
+        coeffs = jax.vmap(lambda e: intt(e, dom))(wire_evals)
+        ext = jnp.concatenate(
+            [coeffs, jnp.zeros((5, 2, NLIMBS), jnp.uint32)], axis=1
+        )
+        b0, b1 = blinds[:, 0], blinds[:, 1]
+        ext = ext.at[:, 0].set(fj.sub(ext[:, 0], b1))
+        ext = ext.at[:, 1].set(fj.sub(ext[:, 1], b0))
+        ext = ext.at[:, n].set(fj.add(ext[:, n], b1))
+        ext = ext.at[:, n + 1].set(fj.add(ext[:, n + 1], b0))
+        return ext, fj.from_mont(ext)
+
+    @jax.jit
+    def z_phase(wire_evals, sigma_evals, ks_x, beta, gamma, blinds):
+        """Grand product z: returns ([n+3,16] mont coeffs, plain)."""
+        gam = gamma[None, :]
+        num = fj.one_mont((n,))
+        den = fj.one_mont((n,))
+        for j in range(5):
+            nj = fj.add(fj.add(wire_evals[j], fj.mont_mul(beta, ks_x[j])), gam)
+            dj = fj.add(fj.add(wire_evals[j], fj.mont_mul(beta, sigma_evals[j])), gam)
+            num = fj.mont_mul(num, nj)
+            den = fj.mont_mul(den, dj)
+        ratio = fj.mont_mul(num, fj.inv(den))
+        inc = lax.associative_scan(lambda a, b: fj.mont_mul(a, b), ratio, axis=0)
+        z_evals = jnp.concatenate([fj.one_mont((1,)), inc[:-1]], axis=0)
+        zc = intt(z_evals, dom)
+        zc = jnp.concatenate([zc, jnp.zeros((3, NLIMBS), jnp.uint32)], axis=0)
+        b0, b1, b2 = blinds[0], blinds[1], blinds[2]
+        zc = zc.at[0].set(fj.sub(zc[0], b2))
+        zc = zc.at[1].set(fj.sub(zc[1], b1))
+        zc = zc.at[2].set(fj.sub(zc[2], b0))
+        zc = zc.at[n].set(fj.add(zc[n], b2))
+        zc = zc.at[n + 1].set(fj.add(zc[n + 1], b1))
+        zc = zc.at[n + 2].set(fj.add(zc[n + 2], b0))
+        return zc, fj.from_mont(zc)
+
+    def _pow5(x):
+        x2 = fj.mont_sqr(x)
+        return fj.mont_mul(fj.mont_sqr(x2), x)
+
+    @jax.jit
+    def quotient_phase(
+        wire_ext, z_coeffs, pub_evals,
+        sel_coset, sigma_coset, ks_x_coset, l1_coset, inv_zh_coset,
+        alpha, beta, gamma,
+    ):
+        m8 = 8 * n
+        w8 = jax.vmap(lambda c: coset_ntt(_pad(c, m8), dom8, g))(wire_ext)
+        z8 = coset_ntt(_pad(z_coeffs, m8), dom8, g)
+        zw8 = jnp.roll(z8, -8, axis=0)
+        pi8 = coset_ntt(_pad(intt(pub_evals, dom), m8), dom8, g)
+
+        S = {name: sel_coset[i] for i, name in enumerate(SELECTORS)}
+        gate = fj.mont_mul(S["lc0"], w8[0])
+        gate = fj.add(gate, fj.mont_mul(S["lc1"], w8[1]))
+        gate = fj.add(gate, fj.mont_mul(S["lc2"], w8[2]))
+        gate = fj.add(gate, fj.mont_mul(S["lc3"], w8[3]))
+        gate = fj.add(gate, fj.mont_mul(S["mul0"], fj.mont_mul(w8[0], w8[1])))
+        gate = fj.add(gate, fj.mont_mul(S["mul1"], fj.mont_mul(w8[2], w8[3])))
+        gate = fj.add(gate, fj.mont_mul(S["hash0"], _pow5(w8[0])))
+        gate = fj.add(gate, fj.mont_mul(S["hash1"], _pow5(w8[1])))
+        gate = fj.add(gate, fj.mont_mul(S["hash2"], _pow5(w8[2])))
+        gate = fj.add(gate, fj.mont_mul(S["hash3"], _pow5(w8[3])))
+        prod = fj.mont_mul(
+            fj.mont_mul(fj.mont_mul(w8[0], w8[1]), fj.mont_mul(w8[2], w8[3])), w8[4]
+        )
+        gate = fj.add(gate, fj.mont_mul(S["ecc"], prod))
+        gate = fj.add(gate, S["c"])
+        gate = fj.sub(gate, fj.mont_mul(S["o"], w8[4]))
+        gate = fj.add(gate, pi8)
+
+        gam = gamma[None, :]
+        fnum = fj.one_mont((m8,))
+        gden = fj.one_mont((m8,))
+        for j in range(5):
+            fnum = fj.mont_mul(
+                fnum, fj.add(fj.add(w8[j], fj.mont_mul(beta, ks_x_coset[j])), gam)
+            )
+            gden = fj.mont_mul(
+                gden, fj.add(fj.add(w8[j], fj.mont_mul(beta, sigma_coset[j])), gam)
+            )
+        perm = fj.sub(fj.mont_mul(z8, fnum), fj.mont_mul(zw8, gden))
+        l1t = fj.mont_mul(fj.sub(z8, fj.one_mont((m8,))), l1_coset)
+        alpha2 = fj.mont_sqr(alpha)
+        F = fj.add(gate, fj.add(fj.mont_mul(alpha, perm), fj.mont_mul(alpha2, l1t)))
+        t8 = fj.mont_mul(F, inv_zh_coset)
+        tc = coset_intt(t8, dom8, g)
+        chunks = tc[: 5 * (n + 2)].reshape(5, n + 2, NLIMBS)
+        tail = tc[5 * (n + 2) :]
+        return chunks, fj.from_mont(chunks), fj.is_zero(tail).all()
+
+    @jax.jit
+    def evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta_pows, zeta_om_pows):
+        def ev(c, pows):
+            return fj.field_sum(fj.mont_mul(c, pows[: c.shape[0]]), axis=-2)
+
+        wire_evs = jax.vmap(lambda c: ev(c, zeta_pows))(wire_ext)
+        sig_evs = jax.vmap(lambda c: ev(c, zeta_pows))(sigma_coeffs)
+        z_om = ev(z_coeffs, zeta_om_pows)
+        return wire_evs, sig_evs, z_om
+
+    @jax.jit
+    def lincomb(polys, scalars):
+        """[k,m,16] mont polys x [k,16] mont scalars -> [m,16]."""
+        return fj.field_sum(fj.mont_mul(polys, scalars[:, None, :]), axis=0)
+
+    @jax.jit
+    def open_phase(q_poly, q_eval, x2n, zeta_m):
+        """(q(X) - q_eval) / (X - zeta) via 2n-point evaluation division."""
+        m2 = 2 * n
+        q8 = ntt(_pad(q_poly, m2), dom2)
+        invd = fj.inv(fj.sub(x2n, zeta_m[None, :]))
+        w_evals = fj.mont_mul(fj.sub(q8, q_eval[None, :]), invd)
+        wc = intt(w_evals, dom2)
+        wc = wc[: n + 2]
+        return wc, fj.from_mont(wc)
+
+    return SimpleNamespace(
+        dom=dom, dom8=dom8, dom2=dom2, g=g,
+        wires_phase=wires_phase, z_phase=z_phase,
+        quotient_phase=quotient_phase, evals_phase=evals_phase,
+        lincomb=lincomb, open_phase=open_phase,
+    )
+
+
+# ---------------------------------------------------------------------------
+# preprocessing
+# ---------------------------------------------------------------------------
+
+
+def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
+    """Build (ProvingKey, VerifyingKey) — `PlonkKzgSnark::preprocess` twin."""
+    fin = circuit.finalize_for_arithmetization()
+    n = fin.n
+    if srs.max_degree < n + 2:
+        raise ValueError(f"SRS degree {srs.max_degree} < required {n + 2}")
+    K = _kernels(n)
+    p = FR.p
+
+    sel_evals = jnp.asarray(
+        np.stack([ints_to_limbs(fin.selectors[name], FR) for name in SELECTORS])
+    )
+    sigma_evals = jnp.asarray(np.stack([ints_to_limbs(s, FR) for s in fin.sigma_values]))
+
+    to_coeffs = jax.jit(jax.vmap(lambda e: intt(e, K.dom)))
+    sel_coeffs = to_coeffs(sel_evals)
+    sigma_coeffs = to_coeffs(sigma_evals)
+
+    # commitments (18 at once)
+    allc = jnp.concatenate([sel_coeffs, sigma_coeffs], axis=0)
+    plain = jax.jit(fj.from_mont)(allc)
+    host_comms = commit_batch(srs, plain)
+    selector_comms = {name: host_comms[i] for i, name in enumerate(SELECTORS)}
+    sigma_comms = host_comms[13:18]
+
+    # coset tables
+    m8 = 8 * n
+    pad8 = jax.jit(
+        jax.vmap(
+            lambda c: coset_ntt(
+                jnp.concatenate([c, jnp.zeros((m8 - n, NLIMBS), jnp.uint32)]), K.dom8, K.g
+            )
+        )
+    )
+    sel_coset = pad8(sel_coeffs)
+    sigma_coset = pad8(sigma_coeffs)
+
+    # identity-permutation values k_j * x on H and on the coset
+    xs_host = K.dom.elements()
+    xs8_host = [pow(K.g, 1, p)]
+    w8 = K.dom8.omega
+    for _ in range(m8 - 1):
+        xs8_host.append(xs8_host[-1] * w8 % p)
+    ks = fin.wire_ks
+    ks_x = jnp.asarray(
+        np.stack([ints_to_limbs([k * x % p for x in xs_host], FR) for k in ks])
+    )
+    ks_x_coset = jnp.asarray(
+        np.stack([ints_to_limbs([k * x % p for x in xs8_host], FR) for k in ks])
+    )
+    coset_x = jnp.asarray(ints_to_limbs(xs8_host, FR))
+
+    # Z_H and L1 on the coset (Z_H is 8-periodic there)
+    gn = pow(K.g, n, p)
+    zeta8 = pow(K.dom8.omega, n, p)
+    zh8 = [(gn * pow(zeta8, i, p) - 1) % p for i in range(8)]
+    inv_zh8 = FR.batch_inv(zh8)
+    inv_zh_coset = jnp.asarray(ints_to_limbs(inv_zh8 * (m8 // 8), FR))
+    n_inv = pow(n, -1, p)
+    l1_host = [
+        zh8[i % 8] * n_inv % p * pow((x - 1) % p, -1, p) % p for i, x in enumerate(xs8_host)
+    ]
+    l1_coset = jnp.asarray(ints_to_limbs(l1_host, FR))
+
+    x2n_host = K.dom2.elements()
+    x2n_mont = jnp.asarray(ints_to_limbs(x2n_host, FR))
+
+    vk = VerifyingKey(
+        n=n, num_pub=fin.num_pub, wire_ks=list(ks),
+        selector_comms=selector_comms, sigma_comms=sigma_comms,
+        g2_gen=srs.g2_gen, g2_tau=srs.g2_tau,
+    )
+    pk = ProvingKey(
+        vk=vk, n=n, num_pub=fin.num_pub,
+        domain=K.dom, domain8=K.dom8, domain2=K.dom2, coset_shift=K.g,
+        wire_index=fin.wire_index, sigma_values_host=fin.sigma_values,
+        wire_ks=list(ks),
+        sel_coeffs=sel_coeffs, sigma_coeffs=sigma_coeffs,
+        sel_coset=sel_coset, sigma_coset=sigma_coset,
+        sigma_evals_dev=sigma_evals, ks_x_coset=ks_x_coset,
+        coset_x=coset_x, l1_coset=l1_coset, inv_zh_coset=inv_zh_coset,
+        x2n_mont=x2n_mont,
+    )
+    pk.ks_x_dev = ks_x
+    pk.srs = srs
+    return pk, vk
+
+
+# ---------------------------------------------------------------------------
+# proving
+# ---------------------------------------------------------------------------
+
+
+def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = None) -> PlonkProof:
+    """Generate a TurboPlonk proof.
+
+    wire_values: 5 lists of ints (length n) — from circuit.wire_values().
+    pub_inputs: list of ints (the circuit's public inputs, in order).
+    ext_msg: extra transcript binding (jf's `Option<ext_msg>` hook).
+    """
+    n = pk.n
+    K = _kernels(n)
+    srs = pk.srs
+    p = FR.p
+
+    transcript = Transcript()
+    transcript.append_bytes(b"vk", pk.vk.digest())
+    transcript.append_scalars(b"pub", pub_inputs)
+    if ext_msg is not None:
+        transcript.append_bytes(b"ext", ext_msg)
+
+    # round 1 — wire polynomials
+    wire_evals = jnp.asarray(
+        np.stack([ints_to_limbs(w, FR) for w in wire_values])
+    )
+    blinds1 = _mont_many([FR.rand(rng) for _ in range(10)]).reshape(5, 2, NLIMBS)
+    wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1)
+    wire_comms = commit_batch(srs, wire_plain)
+    transcript.append_points(b"wires", wire_comms)
+    beta = transcript.challenge(b"beta")
+    gamma = transcript.challenge(b"gamma")
+
+    # round 2 — permutation grand product
+    blinds_z = _mont_many([FR.rand(rng) for _ in range(3)])
+    z_coeffs, z_plain = K.z_phase(
+        wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma), blinds_z
+    )
+    z_comm = commit_batch(srs, z_plain[None])[0]
+    transcript.append_point(b"z", z_comm)
+    alpha = transcript.challenge(b"alpha")
+
+    # round 3 — quotient
+    pub_padded = list(pub_inputs) + [0] * (n - len(pub_inputs))
+    pub_evals = jnp.asarray(ints_to_limbs(pub_padded, FR))
+    t_chunks, t_plain, tail_ok = K.quotient_phase(
+        wire_ext, z_coeffs, pub_evals,
+        pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset, pk.inv_zh_coset,
+        _mont(alpha), _mont(beta), _mont(gamma),
+    )
+    t_comms = commit_batch(srs, t_plain)
+    transcript.append_points(b"t", t_comms)
+    zeta = transcript.challenge(b"zeta")
+
+    # round 4 — evaluations
+    zeta_pows = [1]
+    for _ in range(n + 2):
+        zeta_pows.append(zeta_pows[-1] * zeta % p)
+    omega = pk.domain.omega
+    zw = zeta * omega % p
+    zw_pows = [1]
+    for _ in range(n + 2):
+        zw_pows.append(zw_pows[-1] * zw % p)
+    zp = jnp.asarray(ints_to_limbs(zeta_pows, FR))
+    zwp = jnp.asarray(ints_to_limbs(zw_pows, FR))
+    wire_evs_d, sig_evs_d, z_om_d = K.evals_phase(
+        wire_ext, pk.sigma_coeffs, z_coeffs, zp, zwp
+    )
+    wire_evs = limbs_to_ints(np.asarray(wire_evs_d), FR)
+    sig_evs = limbs_to_ints(np.asarray(sig_evs_d), FR)[:4]
+    z_omega_eval = limbs_to_int(np.asarray(z_om_d), FR)
+    transcript.append_scalars(b"evals", wire_evs + sig_evs + [z_omega_eval])
+    v = transcript.challenge(b"v")
+
+    # round 5 — linearization poly r(X) and batched openings
+    abar = wire_evs
+    zh_zeta = (pow(zeta, n, p) - 1) % p
+    l1_zeta = zh_zeta * pow(n * (zeta - 1) % p, -1, p) % p
+    f_zeta = 1
+    for j in range(5):
+        f_zeta = f_zeta * ((abar[j] + beta * pk.wire_ks[j] * zeta + gamma) % p) % p
+    pi3 = 1
+    for j in range(4):
+        pi3 = pi3 * ((abar[j] + beta * sig_evs[j] + gamma) % p) % p
+    alpha2 = alpha * alpha % p
+
+    # r(X) = sum(scalar_i * poly_i): selectors, z, sigma4, t chunks
+    gate_coeffs = {
+        "lc0": abar[0], "lc1": abar[1], "lc2": abar[2], "lc3": abar[3],
+        "mul0": abar[0] * abar[1] % p, "mul1": abar[2] * abar[3] % p,
+        "hash0": pow(abar[0], 5, p), "hash1": pow(abar[1], 5, p),
+        "hash2": pow(abar[2], 5, p), "hash3": pow(abar[3], 5, p),
+        "ecc": abar[0] * abar[1] % p * abar[2] % p * abar[3] % p * abar[4] % p,
+        "c": 1, "o": (p - abar[4]) % p,
+    }
+    m_r = n + 3
+    polys = [srs_pad(pk.sel_coeffs[i], m_r) for i in range(13)]
+    scalars = [gate_coeffs[name] for name in SELECTORS]
+    polys.append(srs_pad(z_coeffs, m_r))
+    scalars.append((alpha * f_zeta + alpha2 * l1_zeta) % p)
+    polys.append(srs_pad(pk.sigma_coeffs[4], m_r))
+    scalars.append((p - alpha * beta % p * z_omega_eval % p * pi3 % p) % p)
+    for k_i in range(5):
+        polys.append(srs_pad(t_chunks[k_i], m_r))
+        scalars.append((p - zh_zeta * pow(zeta, k_i * (n + 2), p)) % p)
+    r_poly = K.lincomb(jnp.stack(polys), _mont_many(scalars))
+
+    # PI(zeta) and the expected evaluation r(zeta) = -r0
+    pi_zeta = eval_pub_poly(pub_inputs, zeta, pk.domain)
+    r0 = (
+        pi_zeta
+        - alpha2 * l1_zeta
+        - alpha * z_omega_eval % p * pi3 % p * ((abar[4] + gamma) % p)
+    ) % p
+    r_eval = (p - r0) % p
+
+    # batched opening at zeta: r, a0..a4, sigma0..sigma3 with powers of v
+    open_polys = [r_poly] + [srs_pad(wire_ext[j], m_r) for j in range(5)] + [
+        srs_pad(pk.sigma_coeffs[j], m_r) for j in range(4)
+    ]
+    open_evals = [r_eval] + wire_evs + sig_evs
+    v_pows = [pow(v, i, p) for i in range(10)]
+    q_poly = K.lincomb(jnp.stack(open_polys), _mont_many(v_pows))
+    q_eval = sum(vp * e for vp, e in zip(v_pows, open_evals)) % p
+
+    w_zeta_c, w_zeta_plain = K.open_phase(q_poly, _mont(q_eval), pk.x2n_mont, _mont(zeta))
+    w_om_c, w_om_plain = K.open_phase(
+        srs_pad(z_coeffs, m_r), _mont(z_omega_eval), pk.x2n_mont, _mont(zw)
+    )
+    w_comms = commit_batch(srs, jnp.stack([w_zeta_plain, w_om_plain]))
+    transcript.append_points(b"w", w_comms)
+    transcript.challenge(b"u")  # drawn for symmetry with the verifier
+
+    return PlonkProof(
+        wire_comms=wire_comms,
+        z_comm=z_comm,
+        t_comms=t_comms,
+        wire_evals=wire_evs,
+        sigma_evals=sig_evs,
+        z_omega_eval=z_omega_eval,
+        w_zeta=w_comms[0],
+        w_zeta_omega=w_comms[1],
+    )
+
+
+def eval_pub_poly(pub_inputs, zeta: int, domain) -> int:
+    """PI(zeta) = sum_i pi_i L_i(zeta) over the first |pub| domain points."""
+    p = FR.p
+    if not pub_inputs:
+        return 0
+    n = domain.n
+    zh = (pow(zeta, n, p) - 1) % p
+    omega_pows = [1]
+    for _ in range(len(pub_inputs) - 1):
+        omega_pows.append(omega_pows[-1] * domain.omega % p)
+    n_inv = pow(n, -1, p)
+    dens = [(zeta - w) % p for w in omega_pows]
+    dinvs = FR.batch_inv(dens)
+    acc = 0
+    for pi, w, dinv in zip(pub_inputs, omega_pows, dinvs):
+        acc = (acc + pi * zh % p * n_inv % p * w % p * dinv) % p
+    return acc

@@ -1,0 +1,113 @@
+"""PLONK proof / key objects (the `jf-plonk` structs twin, SURVEY.md §2.2).
+
+ProvingKey carries both the host arithmetization and the device-resident
+tables the TPU prover consumes (coset selector/sigma evaluations, coset
+point tables, vanishing-poly inverses).  VerifyingKey is small and purely
+host-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from cap_tpu.crypto.keccak import keccak256
+from cap_tpu.fields.host import FQ, FR
+
+
+@dataclass
+class PlonkProof:
+    """All host-side: 13 G1 points + 10 field evaluations."""
+
+    wire_comms: list          # 5 G1 affine
+    z_comm: tuple             # G1 affine
+    t_comms: list             # 5 G1 affine
+    wire_evals: list          # 5 Fr (a_j(zeta))
+    sigma_evals: list         # 4 Fr (sigma_j(zeta), j<4)
+    z_omega_eval: int         # z(zeta*omega)
+    w_zeta: tuple             # opening proof at zeta
+    w_zeta_omega: tuple       # opening proof at zeta*omega
+
+    def to_bytes(self) -> bytes:
+        from cap_tpu.utils.serde import g1_to_bytes
+
+        out = b""
+        for pt in [*self.wire_comms, self.z_comm, *self.t_comms,
+                   self.w_zeta, self.w_zeta_omega]:
+            out += g1_to_bytes(pt)
+        for v in [*self.wire_evals, *self.sigma_evals, self.z_omega_eval]:
+            out += FR.to_bytes_le(v)
+        return out
+
+    @staticmethod
+    def from_bytes(data: bytes) -> "PlonkProof":
+        from cap_tpu.utils.serde import g1_from_bytes
+
+        pts = []
+        off = 0
+        for _ in range(13):
+            pts.append(g1_from_bytes(data[off : off + 33]))
+            off += 33
+        vals = []
+        for _ in range(10):
+            vals.append(FR.from_bytes_le(data[off : off + 32]))
+            off += 32
+        return PlonkProof(
+            wire_comms=pts[0:5],
+            z_comm=pts[5],
+            t_comms=pts[6:11],
+            w_zeta=pts[11],
+            w_zeta_omega=pts[12],
+            wire_evals=vals[0:5],
+            sigma_evals=vals[5:9],
+            z_omega_eval=vals[9],
+        )
+
+
+@dataclass
+class VerifyingKey:
+    n: int
+    num_pub: int
+    wire_ks: list                  # 5 coset representatives
+    selector_comms: dict           # selector name -> G1 affine
+    sigma_comms: list              # 5 G1 affine
+    g2_gen: tuple
+    g2_tau: tuple
+
+    def digest(self) -> bytes:
+        """Transcript-binding digest of the whole key."""
+        from cap_tpu.utils.serde import g1_to_bytes
+        from cap_tpu.plonk.circuit import SELECTORS
+
+        h = self.n.to_bytes(8, "little") + self.num_pub.to_bytes(8, "little")
+        h += b"".join(FR.to_bytes_le(k) for k in self.wire_ks)
+        for name in SELECTORS:
+            h += g1_to_bytes(self.selector_comms[name])
+        for c in self.sigma_comms:
+            h += g1_to_bytes(c)
+        return keccak256(h)
+
+
+@dataclass
+class ProvingKey:
+    vk: VerifyingKey
+    n: int
+    num_pub: int
+    domain: object                 # NttDomain(n)
+    domain8: object                # NttDomain(8n) for the quotient coset
+    domain2: object                # NttDomain(2n) for opening division
+    coset_shift: int               # multiplicative coset generator g
+    # host arithmetization (needed to re-gather witnesses)
+    wire_index: list
+    sigma_values_host: list        # 5 x [n] ints
+    wire_ks: list
+    # device tables (jnp arrays)
+    sel_coeffs: object             # [13, n, 16] Montgomery coefficient form
+    sigma_coeffs: object           # [5, n, 16]
+    sel_coset: object              # [13, 8n, 16] evals on g*H_8n
+    sigma_coset: object            # [5, 8n, 16]
+    sigma_evals_dev: object        # [5, n, 16] evals on H (for grand product)
+    ks_x_coset: object             # [5, 8n, 16]: k_j * x over coset points
+    coset_x: object                # [8n, 16] coset point values (Montgomery)
+    l1_coset: object               # [8n, 16] L_1 on coset
+    inv_zh_coset: object           # [8n, 16] 1/Z_H on coset
+    x2n_mont: object               # [2n, 16] H_2n points (Montgomery)

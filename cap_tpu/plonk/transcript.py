@@ -1,0 +1,53 @@
+"""Keccak-256 Fiat–Shamir transcript.
+
+Mirrors jf-plonk's `SolidityTranscript` role (SURVEY.md §2.2): a
+Keccak-based transcript so an EVM verifier can replay challenge derivation,
+including the `ext_msg` hook that binds the receiver-memo verification key
+and extra data into transfer proofs (reference src/proof/transfer.rs:181-207).
+
+State model: `state = keccak256(state || label || data)` on every append;
+challenges are drawn as `keccak256(state || 0x01 counter)` reduced mod r
+(48 bytes expanded via two hashes for negligible bias).
+"""
+
+from __future__ import annotations
+
+from cap_tpu.crypto.keccak import keccak256
+from cap_tpu.fields.host import FQ, FR
+
+
+def _encode_g1(pt) -> bytes:
+    """Affine host G1 point -> 64 bytes (LE x || LE y); infinity -> zeros."""
+    if pt is None:
+        return b"\x00" * 64
+    return FQ.to_bytes_le(pt[0]) + FQ.to_bytes_le(pt[1])
+
+
+class Transcript:
+    def __init__(self, label: bytes = b"cap-tpu plonk transcript v1"):
+        self.state = keccak256(label)
+
+    def append_bytes(self, label: bytes, data: bytes) -> None:
+        self.state = keccak256(
+            self.state + len(label).to_bytes(4, "little") + label + data
+        )
+
+    def append_scalar(self, label: bytes, v: int) -> None:
+        self.append_bytes(label, FR.to_bytes_le(v))
+
+    def append_scalars(self, label: bytes, vs) -> None:
+        self.append_bytes(label, b"".join(FR.to_bytes_le(v) for v in vs))
+
+    def append_point(self, label: bytes, pt) -> None:
+        self.append_bytes(label, _encode_g1(pt))
+
+    def append_points(self, label: bytes, pts) -> None:
+        self.append_bytes(label, b"".join(_encode_g1(p) for p in pts))
+
+    def challenge(self, label: bytes) -> int:
+        """Draw a challenge in Fr and absorb it into the state."""
+        h1 = keccak256(self.state + b"\x01" + label)
+        h2 = keccak256(self.state + b"\x02" + label)
+        v = int.from_bytes(h1 + h2[:16], "little") % FR.p
+        self.state = keccak256(self.state + b"\x03" + label)
+        return v
