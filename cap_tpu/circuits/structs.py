@@ -1,0 +1,160 @@
+"""Circuit variables for CAP domain structures.
+
+Twin of reference src/circuit/structs.rs (SURVEY.md §2.1 "Circuit: shared
+vars"): RecordOpeningVar + in-circuit commitment, AssetPolicyVar with
+dummy/equality predicates, ExpirableCredVar verification, ViewableMemoVar.
+Witness recipes MUST mirror cap_tpu.structs exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from cap_tpu.constants import ATTRS_LEN, MAX_TIMESTAMP_LEN, VIEWABLE_DATA_LEN
+from cap_tpu.plonk.circuit import PlonkCircuit
+from cap_tpu.plonk.gadgets import ecc, elgamal, schnorr as schnorr_g
+from cap_tpu.plonk.gadgets.rescue import commitment_gadget
+from cap_tpu.structs import AssetPolicy, ExpirableCredential, RecordOpening
+
+ViewableMemoVar = elgamal.ElGamalHybridCtxtVars
+
+
+@dataclass(frozen=True)
+class UserAddressVar:
+    point: ecc.PointVariable
+
+
+@dataclass(frozen=True)
+class AssetPolicyVar:
+    viewer_pk: ecc.PointVariable
+    cred_pk: ecc.PointVariable
+    freezer_pk: ecc.PointVariable
+    reveal_map: int          # scalar var (big-endian fold of the 12 bits)
+    reveal_map_bits: tuple   # 12 boolean vars (MSB=bit0 of the map first)
+    reveal_threshold: int
+
+    @staticmethod
+    def new(c: PlonkCircuit, policy: AssetPolicy) -> "AssetPolicyVar":
+        bits = [c.create_boolean_variable(b) for b in policy.reveal_map.bits]
+        # scalar = big-endian fold
+        p = c.f.p
+        acc = c.zero
+        i = 0
+        coeffs_pos = [pow(2, VIEWABLE_DATA_LEN - 1 - j, p) for j in range(VIEWABLE_DATA_LEN)]
+        while i < VIEWABLE_DATA_LEN:
+            chunk = bits[i : i + 3]
+            acc = c.lc([acc] + chunk, [1] + coeffs_pos[i : i + len(chunk)])
+            i += 3
+        return AssetPolicyVar(
+            viewer_pk=ecc.create_point_variable(c, policy.viewer_pk),
+            cred_pk=ecc.create_point_variable(c, policy.cred_pk),
+            freezer_pk=ecc.create_point_variable(c, policy.freezer_pk),
+            reveal_map=acc,
+            reveal_map_bits=tuple(bits),
+            reveal_threshold=c.create_variable(policy.reveal_threshold),
+        )
+
+    def to_scalar_vars(self) -> list:
+        return [
+            self.viewer_pk.x, self.viewer_pk.y,
+            self.cred_pk.x, self.cred_pk.y,
+            self.freezer_pk.x, self.freezer_pk.y,
+            self.reveal_map, self.reveal_threshold,
+        ]
+
+    def is_dummy(self, c: PlonkCircuit) -> int:
+        """Boolean var: all keys neutral, map 0, threshold 0."""
+        checks = [
+            ecc.is_neutral_point(c, self.viewer_pk),
+            ecc.is_neutral_point(c, self.cred_pk),
+            ecc.is_neutral_point(c, self.freezer_pk),
+            c.is_zero(self.reveal_map),
+            c.is_zero(self.reveal_threshold),
+        ]
+        return c.logic_and_all(checks)
+
+    def is_equal(self, c: PlonkCircuit, other: "AssetPolicyVar") -> int:
+        checks = [
+            c.is_equal(a, b)
+            for a, b in zip(self.to_scalar_vars(), other.to_scalar_vars())
+        ]
+        return c.logic_and_all(checks)
+
+    def enforce_equal(self, c: PlonkCircuit, other: "AssetPolicyVar") -> None:
+        for a, b in zip(self.to_scalar_vars(), other.to_scalar_vars()):
+            c.enforce_equal(a, b)
+
+
+@dataclass(frozen=True)
+class RecordOpeningVar:
+    amount: int
+    asset_code: int
+    owner: ecc.PointVariable
+    policy: AssetPolicyVar
+    freeze_flag: int  # boolean var
+    blind: int
+
+    @staticmethod
+    def new(c: PlonkCircuit, ro: RecordOpening) -> "RecordOpeningVar":
+        return RecordOpeningVar(
+            amount=c.create_variable(ro.amount),
+            asset_code=c.create_variable(ro.asset_def.code.value),
+            owner=ecc.create_point_variable(c, ro.pub_key.address),
+            policy=AssetPolicyVar.new(c, ro.asset_def.policy),
+            freeze_flag=c.create_boolean_variable(ro.freeze_flag),
+            blind=c.create_variable(ro.blind.value),
+        )
+
+    def derive_record_commitment(self, c: PlonkCircuit) -> int:
+        """In-circuit twin of RecordOpening.derive_record_commitment.
+
+        The 11th input is 2*reveal_map + freeze_flag, computed with one lc
+        gate (reference circuit/structs.rs:108-193)."""
+        rf = c.lc([self.policy.reveal_map, self.freeze_flag], [2, 1])
+        inputs = [
+            self.amount,
+            self.asset_code,
+            self.owner.x, self.owner.y,
+            self.policy.viewer_pk.x, self.policy.viewer_pk.y,
+            self.policy.cred_pk.x, self.policy.cred_pk.y,
+            self.policy.freezer_pk.x, self.policy.freezer_pk.y,
+            rf,
+            self.policy.reveal_threshold,
+        ]
+        return commitment_gadget(c, inputs, self.blind, 12)
+
+
+@dataclass(frozen=True)
+class ExpirableCredVar:
+    user_addr: ecc.PointVariable
+    attrs: tuple      # ATTRS_LEN scalar vars
+    expiry: int
+    sig: schnorr_g.SignatureVar
+    creator_pk: ecc.PointVariable
+
+    @staticmethod
+    def new(c: PlonkCircuit, cred: ExpirableCredential) -> "ExpirableCredVar":
+        return ExpirableCredVar(
+            user_addr=ecc.create_point_variable(c, cred.user_addr),
+            attrs=tuple(c.create_variable(a.to_scalar()) for a in cred.attrs),
+            expiry=c.create_variable(cred.expiry),
+            sig=schnorr_g.create_signature_variable(c, cred.cred),
+            creator_pk=ecc.create_point_variable(c, cred.creator_pk),
+        )
+
+    def verify(self, c: PlonkCircuit, valid_until: int) -> None:
+        """Enforce: (expiry - valid_until) in [0, 2^MAX_TIMESTAMP_LEN) AND
+        signature valid (reference circuit/structs.rs:353-431)."""
+        diff = c.sub(self.expiry, valid_until)
+        c.enforce_in_range(diff, MAX_TIMESTAMP_LEN)
+        msg = [self.expiry, self.user_addr.x, self.user_addr.y] + list(self.attrs)
+        schnorr_g.enforce_signature_validity(c, self.creator_pk, msg, self.sig)
+
+    def verify_flag(self, c: PlonkCircuit, valid_until: int) -> int:
+        """Boolean variant for OR-gated policies: not-expired AND sig valid.
+        One-sided range check — sound inside `valid OR no-cred-policy`."""
+        diff = c.sub(self.expiry, valid_until)
+        b_range = c.check_in_range_conditional(diff, MAX_TIMESTAMP_LEN)
+        msg = [self.expiry, self.user_addr.x, self.user_addr.y] + list(self.attrs)
+        b_sig = schnorr_g.check_signature_validity(c, self.creator_pk, msg, self.sig)
+        return c.logic_and(b_range, b_sig)

@@ -280,8 +280,9 @@ def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
     inv_zh8 = FR.batch_inv(zh8)
     inv_zh_coset = jnp.asarray(ints_to_limbs(inv_zh8 * (m8 // 8), FR))
     n_inv = pow(n, -1, p)
+    dinvs = FR.batch_inv([(x - 1) % p for x in xs8_host])
     l1_host = [
-        zh8[i % 8] * n_inv % p * pow((x - 1) % p, -1, p) % p for i, x in enumerate(xs8_host)
+        zh8[i % 8] * n_inv % p * dinvs[i] % p for i in range(m8)
     ]
     l1_coset = jnp.asarray(ints_to_limbs(l1_host, FR))
 

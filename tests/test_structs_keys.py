@@ -1,0 +1,204 @@
+"""Domain structs & keys tests (reference inline-test parity, SURVEY.md §4.1)."""
+
+import pytest
+
+from cap_tpu.constants import AMOUNT_MAX, ATTRS_LEN
+from cap_tpu.crypto.merkle import MerkleTree
+from cap_tpu.errors import InvalidParameterError, TxnApiError
+from cap_tpu.fields.host import FR
+from cap_tpu.keys import (
+    CredIssuerKeyPair,
+    FreezerKeyPair,
+    UserKeyPair,
+    ViewerKeyPair,
+)
+from cap_tpu.structs import (
+    AssetCode,
+    AssetCodeSeed,
+    AssetDefinition,
+    AssetPolicy,
+    BlindFactor,
+    ExpirableCredential,
+    FeeInput,
+    IdentityAttribute,
+    InternalAssetCode,
+    ReceiverMemo,
+    RecordCommitment,
+    RecordOpening,
+    RevealMap,
+    TxnFeeInfo,
+    check_amount,
+    safe_sum_amount,
+)
+from cap_tpu.utils.rng import test_rng
+
+
+class TestAmount:
+    def test_bounds(self):
+        check_amount(0)
+        check_amount(AMOUNT_MAX)
+        with pytest.raises(InvalidParameterError):
+            check_amount(AMOUNT_MAX + 1)
+        with pytest.raises(InvalidParameterError):
+            check_amount(-1)
+        assert safe_sum_amount([1, 2, 3]) == 6
+        with pytest.raises(InvalidParameterError):
+            safe_sum_amount([AMOUNT_MAX, AMOUNT_MAX])
+
+
+class TestAssetCode:
+    def test_domestic_derivation_and_verify(self):
+        rng = test_rng()
+        seed = AssetCodeSeed.generate(rng)
+        code, _ = AssetCode.new_domestic(seed, b"Thing")
+        internal = InternalAssetCode.new(seed, b"Thing")
+        code.verify_domestic(internal)
+        bad = InternalAssetCode.new(seed, b"Other")
+        with pytest.raises(InvalidParameterError):
+            code.verify_domestic(bad)
+
+    def test_foreign(self):
+        code = AssetCode.new_foreign(b"USD")
+        code.verify_foreign(b"USD")
+        with pytest.raises(InvalidParameterError):
+            code.verify_foreign(b"EUR")
+
+    def test_reserved(self):
+        assert AssetCode.native().is_native()
+        assert AssetCode.dummy().is_dummy()
+        with pytest.raises(InvalidParameterError):
+            AssetDefinition.new(AssetCode.native(), AssetPolicy())
+
+
+class TestRevealMap:
+    def test_scalar_encoding(self):
+        rm = RevealMap().reveal_record_opening()
+        # bits [1,1,1,1,0...]: big-endian fold -> 0b111100000000
+        assert rm.to_scalar() == 0b111100000000
+        assert RevealMap.reveal_all().to_scalar() == (1 << 12) - 1
+        assert RevealMap().to_scalar() == 0
+
+    def test_hadamard(self):
+        rm = RevealMap().reveal_record_opening()
+        vals = list(range(1, 13))
+        out = rm.hadamard_product(vals)
+        assert out[:4] == [1, 2, 3, 4] and all(v == 0 for v in out[4:])
+
+
+class TestPolicy:
+    def test_builder_and_dummy(self):
+        rng = test_rng()
+        viewer = ViewerKeyPair.generate(rng)
+        pol = AssetPolicy()
+        assert pol.is_dummy()
+        pol2 = pol.set_viewer_pub_key(viewer.pub_key()).reveal_amount()
+        assert pol2.is_viewer_set() and not pol2.is_dummy()
+        with pytest.raises(InvalidParameterError):
+            AssetPolicy().reveal_amount()  # no viewer set
+
+    def test_policy_scalars_len(self):
+        rng = test_rng()
+        assert len(AssetPolicy.rand_for_test(rng).to_scalars()) == 8
+
+
+class TestRecords:
+    def test_commitment_deterministic_and_binding(self):
+        rng = test_rng()
+        ro = RecordOpening.rand_for_test(rng)
+        c1 = ro.derive_record_commitment()
+        assert c1 == RecordCommitment.from_ro(ro).value
+        import dataclasses
+
+        ro2 = dataclasses.replace(ro, amount=(ro.amount + 1) % AMOUNT_MAX)
+        assert ro2.derive_record_commitment() != c1
+
+    def test_serde_roundtrip(self):
+        rng = test_rng()
+        ro = RecordOpening.rand_for_test(rng)
+        back = RecordOpening.from_bytes(ro.to_bytes())
+        assert back == ro
+        assert back.derive_record_commitment() == ro.derive_record_commitment()
+
+    def test_dummy(self):
+        rng = test_rng()
+        ro, kp = RecordOpening.dummy(rng)
+        assert ro.is_dummy() and ro.amount == 0
+        assert kp.pub_key() == ro.pub_key
+
+
+class TestNullifierKeys:
+    def test_user_freezer_symmetry(self):
+        """keys.rs:632-661 twin: user- and freezer-side nk agree."""
+        rng = test_rng()
+        user = UserKeyPair.generate(rng)
+        freezer = FreezerKeyPair.generate(rng)
+        nk_u = user.derive_nullifier_key(freezer.pk)
+        nk_f = freezer.derive_nullifier_key(user.address())
+        assert nk_u == nk_f
+        n1 = user.nullify(freezer.pk, 7, 12345)
+        n2 = freezer.nullify(user.address(), 7, 12345)
+        assert n1 == n2
+        assert n1 != user.nullify(freezer.pk, 8, 12345)
+
+    def test_no_freezer_uses_sk(self):
+        rng = test_rng()
+        user = UserKeyPair.generate(rng)
+        from cap_tpu.crypto.jubjub import NEUTRAL
+
+        nk = user.derive_nullifier_key(NEUTRAL)
+        assert nk.value == user.addr_keypair.sk % FR.p
+
+
+class TestCredentials:
+    def test_create_verify_expiry(self):
+        rng = test_rng()
+        issuer = CredIssuerKeyPair.generate(rng)
+        user = UserKeyPair.generate(rng)
+        attrs = [IdentityAttribute.random(rng) for _ in range(ATTRS_LEN)]
+        cred = ExpirableCredential.create(
+            user.address(), attrs, expiry=1000, issuer_keypair=issuer.keypair, rng=rng
+        )
+        cred.verify(now=999)
+        with pytest.raises(TxnApiError):
+            cred.verify(now=1001)
+
+    def test_attribute_scalar_roundtrip(self):
+        a = IdentityAttribute(b"hello world")
+        assert IdentityAttribute.from_scalar(a.to_scalar()) == a
+        rng = test_rng()
+        for _ in range(10):
+            a = IdentityAttribute.random(rng)
+            assert IdentityAttribute.from_scalar(a.to_scalar()) == a
+
+
+class TestMemos:
+    def test_receiver_memo_roundtrip(self):
+        rng = test_rng()
+        user = UserKeyPair.generate(rng)
+        ro = RecordOpening.new(rng, 55, AssetDefinition.native(), user.pub_key())
+        memo = ReceiverMemo.from_ro(rng, ro)
+        comm = RecordCommitment.from_ro(ro)
+        back = memo.decrypt(user, comm)
+        assert back == ro
+        with pytest.raises(TxnApiError):
+            import dataclasses
+
+            other = dataclasses.replace(ro, amount=56)
+            memo.decrypt(user, RecordCommitment.from_ro(other))
+
+
+class TestFees:
+    def test_fee_split(self):
+        rng = test_rng()
+        user = UserKeyPair.generate(rng)
+        ro = RecordOpening.new(rng, 100, AssetDefinition.native(), user.pub_key())
+        t = MerkleTree(4)
+        uid = t.push(ro.derive_record_commitment())
+        from cap_tpu.crypto.merkle import AccMemberWitness
+
+        fee_input = FeeInput(ro, AccMemberWitness.lookup_from_tree(t, uid), user)
+        info, change = TxnFeeInfo.new(rng, fee_input, 30)
+        assert info.fee_amount == 30 and change.amount == 70
+        assert change.asset_def.is_native()
+        with pytest.raises(InvalidParameterError):
+            TxnFeeInfo.new(rng, fee_input, 101)
