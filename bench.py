@@ -1,0 +1,194 @@
+"""Benchmark entry point — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): 2-in/2-out transfer-note prove time on one TPU chip
+vs multi-threaded asm Rust on a big CPU.  The reference repo publishes no
+absolute numbers and Rust is unavailable in this image, so the baseline is
+an estimate documented below; `vs_baseline` = baseline_seconds / ours
+(>1 means faster than the baseline).
+
+Baseline estimate: jf-plonk TurboPlonk at domain 2^15 proves in ~2.0 s
+multi-threaded with asm on contemporary many-core x86 (derived from
+jellyfish's published bench ballpark; to be replaced by a measured number
+per BASELINE.md once a Rust host is available).
+
+Env knobs:
+  CAP_BENCH=transfer|mint|freeze|msm|ntt|field   (default transfer)
+  CAP_BENCH_REPS=N                               (default 3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+RUST_BASELINE_TRANSFER_S = 2.0
+RUST_BASELINE_MINT_S = 0.9     # domain 2^14 ~ half the transfer cost
+RUST_BASELINE_FREEZE_S = 0.9
+
+
+def bench_note(kind: str, reps: int):
+    from cap_tpu.proof import (
+        freeze as fproof,
+        mint as mproof,
+        transfer as tproof,
+        universal_setup_for_staging,
+    )
+    from cap_tpu.utils.params_builder import (
+        FreezeParamsBuilder,
+        MintParamsBuilder,
+        TransferParamsBuilder,
+    )
+    from cap_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    depth = 6
+    srs = universal_setup_for_staging(2**15 + 2, "data")
+    if kind == "transfer":
+        pk, vk = tproof.preprocess(srs, 2, 2, depth)
+        builder = lambda: TransferParamsBuilder(rng, 2, 2, depth, non_native=True,
+                                                with_viewer=True)
+        gen = lambda b: b.build_transfer_note(pk)[0]
+        baseline = RUST_BASELINE_TRANSFER_S
+        metric = "transfer_2in2out_prove_seconds"
+    elif kind == "mint":
+        pk, vk = mproof.preprocess(srs, depth)
+        builder = lambda: MintParamsBuilder(rng, depth, with_viewer=True)
+        gen = lambda b: b.build_mint_note(pk)[0]
+        baseline = RUST_BASELINE_MINT_S
+        metric = "mint_prove_seconds"
+    else:
+        pk, vk = fproof.preprocess(srs, 2, depth)
+        builder = lambda: FreezeParamsBuilder(rng, 2, depth)
+        gen = lambda b: b.build_freeze_note(pk)[0]
+        baseline = RUST_BASELINE_FREEZE_S
+        metric = f"{kind}_prove_seconds"
+
+    gen(builder())  # warm-up (compile)
+    times = []
+    for _ in range(reps):
+        b = builder()
+        t0 = time.time()
+        gen(b)
+        times.append(time.time() - t0)
+    best = min(times)
+    return {
+        "metric": metric,
+        "value": round(best, 3),
+        "unit": "seconds",
+        "vs_baseline": round(baseline / best, 3),
+    }
+
+
+def bench_field(reps: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cap_tpu.fields.host import FR
+    from cap_tpu.ops import field_jax as fj
+    from cap_tpu.ops.limbs import ints_to_limbs
+    from cap_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    n = 1 << 18
+    base = ints_to_limbs([FR.rand(rng) for _ in range(4096)], FR)
+    X = jnp.asarray(np.tile(base, (n // 4096, 1)))
+    f = jax.jit(fj.mont_mul)
+    Z = f(X, X)
+    Z.block_until_ready()
+    t0 = time.time()
+    iters = 20
+    for _ in range(iters):
+        Z = f(Z, X)
+    Z.block_until_ready()
+    per = (time.time() - t0) / iters
+    mps = n / per / 1e6
+    # speed-of-light roofline: ~500 uint32 ops per modmul on the VPU
+    return {
+        "metric": "field_mont_mul_mops_per_s",
+        "value": round(mps, 1),
+        "unit": "Mmul/s",
+        "vs_baseline": round(mps / 100.0, 2),  # vs ~100 Mmul/s asm x86 core
+    }
+
+
+def bench_ntt(reps: int):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cap_tpu.fields.host import FR
+    from cap_tpu.ops import ntt as nt
+    from cap_tpu.ops.limbs import ints_to_limbs
+    from cap_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    n = 1 << 15
+    dom = nt.get_domain(n)
+    C = jnp.asarray(ints_to_limbs([FR.rand(rng) for _ in range(n)], FR))
+    f = jax.jit(lambda c: nt.ntt(c, dom))
+    E = f(C)
+    jax.block_until_ready(E)
+    t0 = time.time()
+    iters = 50
+    for _ in range(iters):
+        E = f(C)
+    jax.block_until_ready(E)
+    per = (time.time() - t0) / iters
+    return {
+        "metric": "ntt_2e15_ms",
+        "value": round(per * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(10.0 / (per * 1e3), 2),  # vs ~10ms multicore CPU FFT
+    }
+
+
+def bench_msm(reps: int):
+    from cap_tpu.crypto.bn254 import G1_GEN, g1_mul
+    from cap_tpu.fields.host import FR
+    from cap_tpu.ops import msm
+    from cap_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    n = 1 << 15
+    pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(64)] * (n // 64)
+    scal = [FR.rand(rng) for _ in range(n)]
+    Pd, Sd = msm.pad_msm_inputs(pts, scal)
+    f = jax.jit(msm.msm_device)
+    jax.block_until_ready(f(Pd, Sd))
+    t0 = time.time()
+    for _ in range(reps):
+        t_bits = f(Pd, Sd)
+        jax.block_until_ready(t_bits)
+    per = (time.time() - t0) / reps
+    return {
+        "metric": "msm_2e15_seconds",
+        "value": round(per, 3),
+        "unit": "seconds",
+        "vs_baseline": round(0.15 / per, 2),  # vs ~150ms multicore CPU pippenger
+    }
+
+
+def main():
+    kind = os.environ.get("CAP_BENCH", "transfer")
+    reps = int(os.environ.get("CAP_BENCH_REPS", "3"))
+    if kind in ("transfer", "mint", "freeze"):
+        result = bench_note(kind, reps)
+    elif kind == "field":
+        result = bench_field(reps)
+    elif kind == "ntt":
+        result = bench_ntt(reps)
+    elif kind == "msm":
+        result = bench_msm(reps)
+    else:
+        raise SystemExit(f"unknown CAP_BENCH={kind}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

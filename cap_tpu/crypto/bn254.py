@@ -119,8 +119,23 @@ def g1_double(a):
     return g1_add(a, a)
 
 
+_native_g1 = None
+
+
 def g1_mul(pt, k: int):
     k %= FR.p
+    if pt is None or k == 0:
+        return None
+    global _native_g1
+    if _native_g1 is None:
+        try:
+            from cap_tpu.utils import native
+
+            _native_g1 = native.g1_mul if native.HAVE_NATIVE else False
+        except Exception:
+            _native_g1 = False
+    if _native_g1 is not False:
+        return _native_g1(pt, k)
     acc = None
     base = pt
     while k:

@@ -72,6 +72,24 @@ def rescue_params(field: PrimeField = FR) -> RescueParams:
     return RescueParams(field, ALPHA, alpha_inv, mds, round_keys)
 
 
+def _native_permute(state):
+    """C++ fast path (cap_tpu.utils.native); None if the lib is absent."""
+    global _native_fn
+    if _native_fn is None:
+        try:
+            from cap_tpu.utils import native
+
+            _native_fn = native.rescue_permute if native.HAVE_NATIVE else False
+        except Exception:
+            _native_fn = False
+    if _native_fn is False:
+        return None
+    return _native_fn(state)
+
+
+_native_fn = None
+
+
 class RescuePermutation:
     """Width-4 Rescue permutation plus the derived symmetric primitives."""
 
@@ -93,6 +111,10 @@ class RescuePermutation:
         f = self.field
         pr = self.params
         assert len(state) == STATE_WIDTH
+        if f.name == "bn254::Fr":
+            native = _native_permute(state)
+            if native is not None:
+                return native
         s = [(state[i] + pr.round_keys[0][i]) % f.p for i in range(STATE_WIDTH)]
         for r in range(ROUNDS):
             s = self._mds_mul([pow(x, pr.alpha, f.p) for x in s], pr.round_keys[2 * r + 1])

@@ -62,14 +62,14 @@ def _bits_of(scalars, b):
     return (col >> shift) & 1
 
 
-def scalar_bits(scalars):
-    """All bits of [n,16] plain limb scalars: [n, 254] uint32 in {0,1}."""
+def scalar_bits(scalars, nbits: int = SCALAR_BITS):
+    """All bits of [n,16] plain limb scalars: [n, nbits] uint32 in {0,1}."""
     shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
     b = (scalars[:, :, None] >> shifts[None, None, :]) & 1  # [n, 16, 16]
-    return b.reshape(scalars.shape[0], NLIMBS * LIMB_BITS)[:, :SCALAR_BITS]
+    return b.reshape(scalars.shape[0], NLIMBS * LIMB_BITS)[:, :nbits]
 
 
-def msm_device(points, scalars):
+def msm_device(points, scalars, nbits: int = SCALAR_BITS):
     """Device part of the MSM: per-bit sums T_b = sum_{bit_b(s_i)} P_i.
 
     Maintains all SCALAR_BITS bit-accumulators as one [254, CHUNK] lane array
@@ -81,18 +81,18 @@ def msm_device(points, scalars):
     n = px.shape[0]
     assert n % CHUNK == 0, "pad inputs with pad_msm_inputs"
     nchunks = n // CHUNK
-    bits = scalar_bits(scalars)  # [n, 254]
-    ident = ec.identity((SCALAR_BITS, CHUNK))
+    bits = scalar_bits(scalars, nbits)  # [n, nbits]
+    ident = ec.identity((nbits, CHUNK))
 
     def chunk_body(k, t_acc):
         sl = tuple(
             lax.dynamic_slice_in_dim(c, k * CHUNK, CHUNK, axis=0)
             for c in (px, py, pz)
         )
-        bc = lax.dynamic_slice_in_dim(bits, k * CHUNK, CHUNK, axis=0)  # [CHUNK,254]
-        mask = jnp.transpose(bc).astype(jnp.bool_)                     # [254,CHUNK]
+        bc = lax.dynamic_slice_in_dim(bits, k * CHUNK, CHUNK, axis=0)  # [CHUNK,nbits]
+        mask = jnp.transpose(bc).astype(jnp.bool_)                     # [nbits,CHUNK]
         slb = tuple(
-            jnp.broadcast_to(c[None], (SCALAR_BITS, CHUNK, NLIMBS)) for c in sl
+            jnp.broadcast_to(c[None], (nbits, CHUNK, NLIMBS)) for c in sl
         )
         sel = ec.ec_select(mask, slb, ident)
         return ec.ec_add(t_acc, sel)
@@ -107,7 +107,7 @@ def msm_device(points, scalars):
         hi = tuple(c[:, half:width] for c in t_acc)
         t_acc = ec.ec_add(lo, hi)
         width = half
-    return tuple(c[:, 0] for c in t_acc)  # [254] points, index = bit
+    return tuple(c[:, 0] for c in t_acc)  # [nbits] points, index = bit
 
 
 def horner_bits_host(t_bits_host) -> tuple:

@@ -1,0 +1,201 @@
+"""Multi-chip sharding of the prover's hot kernels over a jax Mesh.
+
+The reference parallelizes with rayon threads in one address space
+(SURVEY.md §2.3); the TPU-native equivalents here are:
+
+* **MSM** — "TP"-style intra-proof sharding: the point axis is split across
+  devices with `shard_map`; each device computes partial per-bit sums T_b
+  over its shard, partials are combined with a log2(D) complete-EC-add tree
+  (EC addition is not a `psum`-able monoid, so the reduction is explicit),
+  and the 254-step Horner tail stays on host.
+* **NTT** — the four-step factorization n = D*m: residue-class local NTTs
+  (over w^D), then an `all_to_all` transpose, then the D-point combining
+  transform with twiddles — butterfly-stage exchange rides ICI.
+* **Batch proving/verification** — proof-level data parallelism: independent
+  notes are proven on independent meshes/hosts; `txn_batch_verify` already
+  reduces any number of proofs to one multi-pairing.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from cap_tpu.fields.host import FR, NLIMBS
+from cap_tpu.ops import ec, field_jax as fj, msm as msm_mod
+from cap_tpu.ops.limbs import ints_to_limbs
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("x",))
+
+
+# ---------------------------------------------------------------------------
+# sharded MSM
+# ---------------------------------------------------------------------------
+
+
+def sharded_msm_device(mesh: Mesh, points, scalars):
+    """Device part of the MSM with the point axis sharded over mesh axis x.
+
+    points: (px, py, pz) [n,16] arrays, scalars [n,16] plain; n must be a
+    multiple of D*CHUNK.  Returns [254]-batched projective points (combined).
+    """
+    d = mesh.shape["x"]
+
+    def local(px, py, pz, sc):
+        t = msm_mod.msm_device((px, py, pz), sc)
+        # -> [254,16] per coord; add leading axis for the gather
+        return tuple(c[None] for c in t)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("x"), P("x"), P("x"), P("x")),
+        out_specs=(P("x"), P("x"), P("x")),
+        check_rep=False,
+    )
+    tx, ty, tz = f(points[0], points[1], points[2], scalars)  # [D, 254, 16]
+    part = (tx, ty, tz)
+    width = d
+    while width > 1:
+        half = width // 2
+        lo = tuple(c[:half] for c in part)
+        hi = tuple(c[half:width] for c in part)
+        part = ec.ec_add(lo, hi)
+        width = half
+    return tuple(c[0] for c in part)
+
+
+def sharded_msm(mesh: Mesh, points_host, scalars_host):
+    """Full sharded MSM from host points/scalars; returns host affine point."""
+    d = mesh.shape["x"]
+    pts, scs = msm_mod.pad_msm_inputs(points_host, scalars_host, chunk=d * msm_mod.CHUNK)
+    jf = jax.jit(partial(sharded_msm_device, mesh))
+    t_bits = jf(pts, scs)
+    return msm_mod.horner_bits_host(msm_mod.tbits_to_host(t_bits))
+
+
+# ---------------------------------------------------------------------------
+# sharded NTT (four-step with one all_to_all)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _sharded_ntt_tables(n: int, d: int):
+    """Host-precomputed constants for the n = d*m four-step NTT."""
+    p = FR.p
+    m = n // d
+    w = FR.root_of_unity(n)
+    wd = pow(w, d, p)  # m-th root for the local NTTs
+    # local NTT twiddle tables over wd (same layout as ops.ntt stage tables)
+    from cap_tpu.ops.ntt import _bit_reverse_perm
+
+    logm = m.bit_length() - 1
+    stage_tw = []
+    for s in range(1, logm + 1):
+        mm = 1 << s
+        wm = pow(wd, m // mm, p)
+        pows = [1]
+        for _ in range(mm // 2 - 1):
+            pows.append(pows[-1] * wm % p)
+        stage_tw.append(ints_to_limbs(pows, FR))
+    # combine twiddles: for device j, rows k1 in its block, w^{dev*k1}
+    # full [d, m] table: tw[dev][k1] = w^{dev*k1}
+    tw = np.zeros((d, m, NLIMBS), np.uint32)
+    for dev in range(d):
+        base = pow(w, dev, p)
+        pows = [1]
+        for _ in range(m - 1):
+            pows.append(pows[-1] * base % p)
+        tw[dev] = ints_to_limbs(pows, FR)
+    # wm_root: d-point combine uses (w^m)^{dev*k2}
+    wm_mat = np.zeros((d, d, NLIMBS), np.uint32)  # [k2, dev]
+    wm_root = pow(w, m, p)
+    for k2 in range(d):
+        row = [pow(wm_root, dev * k2, p) for dev in range(d)]
+        wm_mat[k2] = ints_to_limbs(row, FR)
+    return m, _bit_reverse_perm(m), tuple(stage_tw), tw, wm_mat
+
+
+def sharded_ntt(mesh: Mesh, coeffs, n: int):
+    """Evaluate a degree-<n polynomial on H_n, sharded over mesh axis x.
+
+    coeffs: [n, 16] Montgomery, distributed cyclically: device dev holds
+    coefficients a[dev::D] (callers lay data out with `cyclic_layout`).
+    Output: evaluations, device j holding A[k] for k1-block j (use
+    `uncyclic_output` to restore natural order on host-side tests).
+    """
+    d = mesh.shape["x"]
+    m, bitrev, stage_tw, tw_np, wm_np = _sharded_ntt_tables(n, d)
+    tw = jnp.asarray(tw_np)
+    wm = jnp.asarray(wm_np)
+
+    def local(block, tw_all, wm_all):
+        # block: [1, m, 16] — this device's residue class a[dev::D]
+        from cap_tpu.ops.ntt import _ntt_core
+
+        x = block[0]
+        x = x[jnp.asarray(bitrev)]
+        b = _ntt_core(x, stage_tw, m)                     # [m,16] local NTT
+        dev = lax.axis_index("x")
+        twd = lax.dynamic_index_in_dim(tw_all, dev, keepdims=False)  # [m,16]
+        b = fj.mont_mul(b, twd)                           # twiddle w^{dev*k1}
+        # all_to_all: split k1 axis into D blocks, exchange
+        b = b.reshape(d, m // d, NLIMBS)                  # [dst, m/D, 16]
+        g = lax.all_to_all(b[None], "x", split_axis=1, concat_axis=0, tiled=False)
+        # g: [D, 1, m/D, 16] — g[src] = B_src[k1 block of this device] * tw
+        g = g[:, 0]                                       # [D, m/D, 16]
+        # combine: A[k1, k2] = sum_src g[src, k1] * wm[k2, src]
+        acc = []
+        for k2 in range(d):
+            terms = fj.mont_mul(g, wm_all[k2][:, None, :])  # [D, m/D, 16]
+            acc.append(fj.field_sum(terms, axis=0))          # [m/D, 16]
+        out = jnp.stack(acc, axis=0)                      # [k2, m/D, 16]
+        return out[None]
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("x"), None, None),
+        out_specs=P("x"),
+        check_rep=False,
+    )
+    blocks = coeffs.reshape(d, m, NLIMBS)
+    return f(blocks, tw, wm)  # [D, d(k2), m/D, 16]
+
+
+def cyclic_layout(coeffs_host_ints, n: int, d: int):
+    """Host ints -> [D, m, 16] array, device dev holding a[dev::D]."""
+    m = n // d
+    arr = np.zeros((d, m, NLIMBS), np.uint32)
+    limbs = ints_to_limbs(coeffs_host_ints, FR)
+    for dev in range(d):
+        arr[dev] = limbs[dev::d]
+    return jnp.asarray(arr.reshape(d * m, NLIMBS))
+
+
+def uncyclic_output(out, n: int, d: int):
+    """[D, d, m/D, 16] sharded output -> evaluations in natural order (host)."""
+    from cap_tpu.ops.limbs import limbs_to_ints
+
+    m = n // d
+    o = np.asarray(out).reshape(d, d, m // d, NLIMBS)  # [j(k1 blk), k2, k1 off]
+    vals = [0] * n
+    raw = limbs_to_ints(o.reshape(-1, NLIMBS), FR)
+    idx = 0
+    for j in range(d):
+        for k2 in range(d):
+            for off in range(m // d):
+                k1 = j * (m // d) + off
+                vals[k2 * m + k1] = raw[idx]
+                idx += 1
+    return vals

@@ -1,0 +1,135 @@
+"""ctypes bridge to the C++ host accelerator (native/libcap_native.so).
+
+Everything degrades gracefully: if the shared library is absent or fails to
+load, `HAVE_NATIVE` is False and callers fall back to pure Python.  The
+library is built with `make -C native` (done automatically on first import
+if a compiler is available).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+from cap_tpu.fields.host import FQ, FR
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SO = os.path.join(_REPO, "native", "libcap_native.so")
+
+HAVE_NATIVE = False
+_lib = None
+
+
+def _to_limbs64(v: int) -> tuple:
+    return tuple((v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4))
+
+
+def _from_limbs64(arr) -> int:
+    return sum(int(arr[i]) << (64 * i) for i in range(4))
+
+
+U64_4 = ctypes.c_uint64 * 4
+U64_16 = ctypes.c_uint64 * 16
+
+
+def _init_lib() -> bool:
+    global _lib, HAVE_NATIVE
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(_REPO, "native")],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return False
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return False
+    # field contexts: which=0 -> Fr, which=1 -> Fq
+    for which, F in ((0, FR), (1, FQ)):
+        n0 = (-pow(F.p, -1, 1 << 64)) % (1 << 64)
+        r = (1 << 256) % F.p
+        r2 = r * r % F.p
+        lib.cap_field_init(
+            which, U64_4(*_to_limbs64(F.p)), U64_4(*_to_limbs64(r2)),
+            U64_4(*_to_limbs64(r)), ctypes.c_uint64(n0),
+        )
+    # rescue constants (Montgomery form, 64-bit limbs)
+    from cap_tpu.crypto.rescue import rescue_params
+
+    pr = rescue_params(FR)
+    mont = lambda v: _to_limbs64(v * ((1 << 256) % FR.p) % FR.p)
+    mds_flat = []
+    for i in range(4):
+        for j in range(4):
+            mds_flat.extend(mont(pr.mds[i][j]))
+    rk_flat = []
+    for r_ in range(25):
+        for i in range(4):
+            rk_flat.extend(mont(pr.round_keys[r_][i]))
+    ainv = _to_limbs64(pr.alpha_inv)
+    lib.cap_rescue_init(
+        (ctypes.c_uint64 * len(mds_flat))(*mds_flat),
+        (ctypes.c_uint64 * len(rk_flat))(*rk_flat),
+        U64_4(*ainv),
+    )
+    _lib = lib
+    HAVE_NATIVE = True
+    return True
+
+
+_init_lib()
+
+_R256_FR = (1 << 256) % FR.p
+_RINV_FR = pow(1 << 256, -1, FR.p)
+_R256_FQ = (1 << 256) % FQ.p
+_RINV_FQ = pow(1 << 256, -1, FQ.p)
+
+
+def rescue_permute(state4) -> list | None:
+    """Native Rescue permutation on 4 Fr ints; None if unavailable."""
+    if not HAVE_NATIVE:
+        return None
+    buf = (ctypes.c_uint64 * 16)()
+    for i, v in enumerate(state4):
+        m = v * _R256_FR % FR.p
+        for k in range(4):
+            buf[4 * i + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    _lib.cap_rescue_permute(buf)
+    out = []
+    for i in range(4):
+        v = sum(int(buf[4 * i + k]) << (64 * k) for k in range(4))
+        out.append(v * _RINV_FR % FR.p)
+    return out
+
+
+def g1_mul(pt, scalar: int):
+    """Native Jacobian scalar mul on an affine host point; None if no lib."""
+    if not HAVE_NATIVE or pt is None:
+        return None if not HAVE_NATIVE else None
+    buf = (ctypes.c_uint64 * 12)()
+    for idx, coord in enumerate((pt[0], pt[1], 1)):
+        m = coord * _R256_FQ % FQ.p
+        for k in range(4):
+            buf[4 * idx + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    sc = U64_4(*_to_limbs64(scalar % FR.p))
+    out = (ctypes.c_uint64 * 12)()
+    _lib.cap_g1_mul(buf, sc, out)
+    x = _from_limbs64(out[0:4]) * _RINV_FQ % FQ.p
+    y = _from_limbs64(out[4:8]) * _RINV_FQ % FQ.p
+    z = _from_limbs64(out[8:12]) * _RINV_FQ % FQ.p
+    if z == 0:
+        return None
+    zinv = pow(z, -1, FQ.p)
+    zi2 = zinv * zinv % FQ.p
+    return (x * zi2 % FQ.p, y * zi2 % FQ.p * zinv % FQ.p)
+
+
+def keccak_f1600(state25: list) -> list | None:
+    if not HAVE_NATIVE:
+        return None
+    buf = (ctypes.c_uint64 * 25)(*state25)
+    _lib.cap_keccak_f1600(buf)
+    return list(buf)

@@ -1,0 +1,342 @@
+// cap_native — host-side acceleration for the cap_tpu framework.
+//
+// Replaces the role of arkworks' x86 asm field arithmetic on the *host* side
+// (witness generation, Merkle maintenance, verifier group ops; the device
+// path is JAX/Pallas and does not use this).  Exposed via ctypes from
+// cap_tpu/utils/native.py with a transparent pure-Python fallback.
+//
+// Scope: 4x64-limb Montgomery arithmetic for a runtime-configured 254-bit
+// prime, BN254 G1 Jacobian ops + scalar mul, the Rescue permutation with
+// runtime-injected constants, and Keccak-f[1600].
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, uses unsigned __int128)
+
+#include <cstdint>
+#include <cstring>
+
+typedef unsigned __int128 u128;
+typedef uint64_t u64;
+
+struct Field {
+    u64 p[4];      // modulus, little-endian limbs
+    u64 r2[4];     // R^2 mod p
+    u64 one[4];    // R mod p (Montgomery 1)
+    u64 n0;        // -p^{-1} mod 2^64
+};
+
+static Field g_fr, g_fq;
+
+// ---------------------------------------------------------------------------
+// 4-limb Montgomery arithmetic
+// ---------------------------------------------------------------------------
+
+static inline int geq(const u64* a, const u64* b) {
+    for (int i = 3; i >= 0; --i) {
+        if (a[i] > b[i]) return 1;
+        if (a[i] < b[i]) return 0;
+    }
+    return 1;
+}
+
+static inline void sub_p(u64* a, const u64* p) {
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a[i] - p[i] - borrow;
+        a[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+}
+
+static void f_add(const Field& F, const u64* a, const u64* b, u64* out) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a[i] + b[i] + carry;
+        out[i] = (u64)s;
+        carry = s >> 64;
+    }
+    if (carry || geq(out, F.p)) sub_p(out, F.p);
+}
+
+static void f_sub(const Field& F, const u64* a, const u64* b, u64* out) {
+    u128 borrow = 0;
+    u64 t[4];
+    for (int i = 0; i < 4; ++i) {
+        u128 d = (u128)a[i] - b[i] - borrow;
+        t[i] = (u64)d;
+        borrow = (d >> 64) ? 1 : 0;
+    }
+    if (borrow) {
+        u128 carry = 0;
+        for (int i = 0; i < 4; ++i) {
+            u128 s = (u128)t[i] + F.p[i] + carry;
+            t[i] = (u64)s;
+            carry = s >> 64;
+        }
+    }
+    memcpy(out, t, 32);
+}
+
+// CIOS Montgomery multiplication
+static void f_mul(const Field& F, const u64* a, const u64* b, u64* out) {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 4; ++i) {
+        u128 carry = 0;
+        for (int j = 0; j < 4; ++j) {
+            u128 cur = (u128)t[j] + (u128)a[i] * b[j] + carry;
+            t[j] = (u64)cur;
+            carry = cur >> 64;
+        }
+        u128 cur = (u128)t[4] + carry;
+        t[4] = (u64)cur;
+        t[5] = (u64)(cur >> 64);
+
+        u64 m = t[0] * F.n0;
+        carry = 0;
+        u128 c0 = (u128)t[0] + (u128)m * F.p[0];
+        carry = c0 >> 64;
+        for (int j = 1; j < 4; ++j) {
+            u128 c = (u128)t[j] + (u128)m * F.p[j] + carry;
+            t[j - 1] = (u64)c;
+            carry = c >> 64;
+        }
+        u128 c4 = (u128)t[4] + carry;
+        t[3] = (u64)c4;
+        t[4] = t[5] + (u64)(c4 >> 64);
+        t[5] = 0;
+    }
+    memcpy(out, t, 32);
+    if (t[4] || geq(out, F.p)) sub_p(out, F.p);
+}
+
+static void f_pow(const Field& F, const u64* base, const u64* e, u64* out) {
+    u64 acc[4], b[4];
+    memcpy(acc, F.one, 32);
+    memcpy(b, base, 32);
+    for (int limb = 0; limb < 4; ++limb) {
+        u64 bits = e[limb];
+        for (int k = 0; k < 64; ++k) {
+            if ((bits >> k) & 1) f_mul(F, acc, b, acc);
+            f_mul(F, b, b, b);
+        }
+    }
+    memcpy(out, acc, 32);
+}
+
+extern "C" {
+
+void cap_field_init(int which, const u64* p, const u64* r2, const u64* one, u64 n0) {
+    Field& F = which == 0 ? g_fr : g_fq;
+    memcpy(F.p, p, 32);
+    memcpy(F.r2, r2, 32);
+    memcpy(F.one, one, 32);
+    F.n0 = n0;
+}
+
+// a,b,out: Montgomery form limbs
+void cap_fr_mul(const u64* a, const u64* b, u64* out) { f_mul(g_fr, a, b, out); }
+void cap_fr_add(const u64* a, const u64* b, u64* out) { f_add(g_fr, a, b, out); }
+void cap_fr_sub(const u64* a, const u64* b, u64* out) { f_sub(g_fr, a, b, out); }
+void cap_fr_pow(const u64* a, const u64* e, u64* out) { f_pow(g_fr, a, e, out); }
+
+// ---------------------------------------------------------------------------
+// Rescue permutation (state width 4, 12 rounds, runtime constants)
+// ---------------------------------------------------------------------------
+
+static u64 g_mds[4][4][4];          // Montgomery
+static u64 g_rk[25][4][4];          // Montgomery
+static u64 g_alpha_inv[4];          // exponent (plain integer limbs)
+
+void cap_rescue_init(const u64* mds, const u64* round_keys, const u64* alpha_inv) {
+    memcpy(g_mds, mds, sizeof(g_mds));
+    memcpy(g_rk, round_keys, sizeof(g_rk));
+    memcpy(g_alpha_inv, alpha_inv, 32);
+}
+
+static inline void sbox5(const u64* x, u64* out) {
+    u64 x2[4], x4[4];
+    f_mul(g_fr, x, x, x2);
+    f_mul(g_fr, x2, x2, x4);
+    f_mul(g_fr, x4, x, out);
+}
+
+static void mds_key(const u64 st[4][4], const u64 key[4][4], u64 out[4][4]) {
+    for (int i = 0; i < 4; ++i) {
+        u64 acc[4];
+        memcpy(acc, key[i], 32);
+        for (int j = 0; j < 4; ++j) {
+            u64 t[4];
+            f_mul(g_fr, g_mds[i][j], st[j], t);
+            f_add(g_fr, acc, t, acc);
+        }
+        memcpy(out[i], acc, 32);
+    }
+}
+
+// state: 4 elements x 4 limbs, Montgomery form, in-place
+void cap_rescue_permute(u64* state_flat) {
+    u64 st[4][4], t[4][4];
+    memcpy(st, state_flat, sizeof(st));
+    for (int i = 0; i < 4; ++i) f_add(g_fr, st[i], g_rk[0][i], st[i]);
+    for (int r = 0; r < 12; ++r) {
+        for (int i = 0; i < 4; ++i) sbox5(st[i], t[i]);
+        mds_key(t, g_rk[2 * r + 1], st);
+        for (int i = 0; i < 4; ++i) f_pow(g_fr, st[i], g_alpha_inv, t[i]);
+        mds_key(t, g_rk[2 * r + 2], st);
+    }
+    memcpy(state_flat, st, sizeof(st));
+}
+
+// batch: n states, each 16 u64s
+void cap_rescue_permute_many(u64* states, int n) {
+    for (int i = 0; i < n; ++i) cap_rescue_permute(states + 16 * i);
+}
+
+// ---------------------------------------------------------------------------
+// BN254 G1 Jacobian (x, y, z Montgomery in Fq; z == 0 -> infinity)
+// ---------------------------------------------------------------------------
+
+struct Jac { u64 x[4], y[4], z[4]; };
+
+static inline int is_zero4(const u64* a) { return !(a[0] | a[1] | a[2] | a[3]); }
+
+static void jac_double(const Jac* p, Jac* out) {
+    if (is_zero4(p->z)) { *out = *p; return; }
+    u64 a[4], b[4], c[4], d[4], e[4], f[4], t[4];
+    f_mul(g_fq, p->x, p->x, a);           // A = X^2
+    f_mul(g_fq, p->y, p->y, b);           // B = Y^2
+    f_mul(g_fq, b, b, c);                 // C = B^2
+    f_add(g_fq, p->x, b, t);              // (X+B)
+    f_mul(g_fq, t, t, d);
+    f_sub(g_fq, d, a, d);
+    f_sub(g_fq, d, c, d);
+    f_add(g_fq, d, d, d);                 // D = 2((X+B)^2 - A - C)
+    f_add(g_fq, a, a, e);
+    f_add(g_fq, e, a, e);                 // E = 3A
+    f_mul(g_fq, e, e, f);                 // F = E^2
+    Jac r;
+    f_sub(g_fq, f, d, r.x);
+    f_sub(g_fq, r.x, d, r.x);             // X3 = F - 2D
+    u64 c8[4];
+    f_add(g_fq, c, c, c8); f_add(g_fq, c8, c8, c8); f_add(g_fq, c8, c8, c8);
+    f_sub(g_fq, d, r.x, t);
+    f_mul(g_fq, e, t, r.y);
+    f_sub(g_fq, r.y, c8, r.y);            // Y3 = E(D - X3) - 8C
+    f_mul(g_fq, p->y, p->z, t);
+    f_add(g_fq, t, t, r.z);               // Z3 = 2YZ
+    *out = r;
+}
+
+static void jac_add(const Jac* p, const Jac* q, Jac* out) {
+    if (is_zero4(p->z)) { *out = *q; return; }
+    if (is_zero4(q->z)) { *out = *p; return; }
+    u64 z1z1[4], z2z2[4], u1[4], u2[4], s1[4], s2[4], t[4];
+    f_mul(g_fq, p->z, p->z, z1z1);
+    f_mul(g_fq, q->z, q->z, z2z2);
+    f_mul(g_fq, p->x, z2z2, u1);
+    f_mul(g_fq, q->x, z1z1, u2);
+    f_mul(g_fq, p->y, z2z2, s1); f_mul(g_fq, s1, q->z, s1);
+    f_mul(g_fq, q->y, z1z1, s2); f_mul(g_fq, s2, p->z, s2);
+    if (!memcmp(u1, u2, 32)) {
+        if (memcmp(s1, s2, 32)) { memset(out, 0, sizeof(Jac)); out->y[0] = 1; return; }
+        jac_double(p, out);
+        return;
+    }
+    u64 h[4], i[4], j[4], rr[4], v[4];
+    f_sub(g_fq, u2, u1, h);
+    f_add(g_fq, h, h, t);
+    f_mul(g_fq, t, t, i);                 // I = (2H)^2
+    f_mul(g_fq, h, i, j);                 // J = H*I
+    f_sub(g_fq, s2, s1, rr);
+    f_add(g_fq, rr, rr, rr);              // r = 2(S2-S1)
+    f_mul(g_fq, u1, i, v);                // V = U1*I
+    Jac r;
+    f_mul(g_fq, rr, rr, r.x);
+    f_sub(g_fq, r.x, j, r.x);
+    f_sub(g_fq, r.x, v, r.x);
+    f_sub(g_fq, r.x, v, r.x);             // X3 = r^2 - J - 2V
+    f_sub(g_fq, v, r.x, t);
+    f_mul(g_fq, rr, t, r.y);
+    u64 s1j[4];
+    f_mul(g_fq, s1, j, s1j);
+    f_add(g_fq, s1j, s1j, s1j);
+    f_sub(g_fq, r.y, s1j, r.y);           // Y3 = r(V-X3) - 2 S1 J
+    f_mul(g_fq, p->z, q->z, t);
+    f_add(g_fq, t, t, t);
+    f_mul(g_fq, t, h, r.z);               // Z3 = 2 Z1 Z2 H
+    *out = r;
+}
+
+// pt: 12 u64 (x,y,z Montgomery); scalar: 4 u64 plain LE; out: 12 u64
+void cap_g1_mul(const u64* pt, const u64* scalar, u64* out) {
+    Jac base, acc;
+    memcpy(&base, pt, sizeof(Jac));
+    memset(&acc, 0, sizeof(Jac));
+    acc.y[0] = 1;  // canonical infinity (z == 0)
+    for (int limb = 3; limb >= 0; --limb) {
+        for (int k = 63; k >= 0; --k) {
+            jac_double(&acc, &acc);
+            if ((scalar[limb] >> k) & 1) jac_add(&acc, &base, &acc);
+        }
+    }
+    memcpy(out, &acc, sizeof(Jac));
+}
+
+void cap_g1_add(const u64* a, const u64* b, u64* out) {
+    Jac r;
+    jac_add((const Jac*)a, (const Jac*)b, &r);
+    memcpy(out, &r, sizeof(Jac));
+}
+
+// naive host MSM over jacobian points (small n — verifier-side folds)
+void cap_g1_msm(const u64* pts, const u64* scalars, int n, u64* out) {
+    Jac acc;
+    memset(&acc, 0, sizeof(Jac));
+    acc.y[0] = 1;
+    for (int i = 0; i < n; ++i) {
+        u64 tmp[12];
+        cap_g1_mul(pts + 12 * i, scalars + 4 * i, tmp);
+        jac_add(&acc, (const Jac*)tmp, &acc);
+    }
+    memcpy(out, &acc, sizeof(Jac));
+}
+
+// ---------------------------------------------------------------------------
+// Keccak-f[1600]
+// ---------------------------------------------------------------------------
+
+static const u64 KRC[24] = {
+    0x0000000000000001ULL, 0x0000000000008082ULL, 0x800000000000808aULL,
+    0x8000000080008000ULL, 0x000000000000808bULL, 0x0000000080000001ULL,
+    0x8000000080008081ULL, 0x8000000000008009ULL, 0x000000000000008aULL,
+    0x0000000000000088ULL, 0x0000000080008009ULL, 0x000000008000000aULL,
+    0x000000008000808bULL, 0x800000000000008bULL, 0x8000000000008089ULL,
+    0x8000000000008003ULL, 0x8000000000008002ULL, 0x8000000000000080ULL,
+    0x000000000000800aULL, 0x800000008000000aULL, 0x8000000080008081ULL,
+    0x8000000000008080ULL, 0x0000000080000001ULL, 0x8000000080008008ULL,
+};
+
+static const int KROT[5][5] = {
+    {0, 36, 3, 41, 18}, {1, 44, 10, 45, 2}, {62, 6, 43, 15, 61},
+    {28, 55, 25, 21, 56}, {27, 20, 39, 8, 14},
+};
+
+static inline u64 rotl(u64 v, int n) { return n ? (v << n) | (v >> (64 - n)) : v; }
+
+void cap_keccak_f1600(u64* a) {
+    for (int round = 0; round < 24; ++round) {
+        u64 c[5], d[5], b[25];
+        for (int x = 0; x < 5; ++x)
+            c[x] = a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20];
+        for (int x = 0; x < 5; ++x) d[x] = c[(x + 4) % 5] ^ rotl(c[(x + 1) % 5], 1);
+        for (int i = 0; i < 25; ++i) a[i] ^= d[i % 5];
+        for (int x = 0; x < 5; ++x)
+            for (int y = 0; y < 5; ++y)
+                b[y + 5 * ((2 * x + 3 * y) % 5)] = rotl(a[x + 5 * y], KROT[x][y]);
+        for (int y = 0; y < 5; ++y)
+            for (int x = 0; x < 5; ++x)
+                a[x + 5 * y] = b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y]);
+        a[0] ^= KRC[round];
+    }
+}
+
+}  // extern "C"

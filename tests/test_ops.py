@@ -1,0 +1,147 @@
+"""Device kernel tests at CPU-feasible sizes (TPU-scale runs live in
+bench.py / scripts).  Ground truth is the host crypto layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cap_tpu.crypto.bn254 import G1_GEN, g1_add, g1_mul
+from cap_tpu.fields.host import FQ, FR
+from cap_tpu.ops import ec, field_jax as fj, msm, ntt as nt
+from cap_tpu.ops.limbs import ints_to_limbs, limbs_to_ints
+from cap_tpu.utils.rng import test_rng
+
+
+class TestFieldJax:
+    def test_mont_mul_add_sub(self):
+        rng = test_rng()
+        xs = [FR.rand(rng) for _ in range(33)] + [0, 1, FR.p - 1]
+        ys = [FR.rand(rng) for _ in range(33)] + [FR.p - 1, 0, FR.p - 2]
+        X = jnp.asarray(ints_to_limbs(xs, FR))
+        Y = jnp.asarray(ints_to_limbs(ys, FR))
+        assert limbs_to_ints(np.asarray(jax.jit(fj.mont_mul)(X, Y)), FR) == [
+            x * y % FR.p for x, y in zip(xs, ys)
+        ]
+        assert limbs_to_ints(np.asarray(jax.jit(fj.add)(X, Y)), FR) == [
+            (x + y) % FR.p for x, y in zip(xs, ys)
+        ]
+        assert limbs_to_ints(np.asarray(jax.jit(fj.sub)(X, Y)), FR) == [
+            (x - y) % FR.p for x, y in zip(xs, ys)
+        ]
+
+    def test_inv_and_pow(self):
+        rng = test_rng()
+        xs = [FR.rand(rng) for _ in range(4)]
+        X = jnp.asarray(ints_to_limbs(xs, FR))
+        assert limbs_to_ints(np.asarray(jax.jit(fj.inv)(X)), FR) == [
+            pow(x, -1, FR.p) for x in xs
+        ]
+
+    def test_mont_roundtrip_and_sum(self):
+        rng = test_rng()
+        xs = [FR.rand(rng) for _ in range(7)]
+        P = jnp.asarray(ints_to_limbs(xs))
+        M = fj.to_mont(P)
+        assert limbs_to_ints(np.asarray(fj.from_mont(M))) == xs
+        s = fj.field_sum(jnp.asarray(ints_to_limbs(xs, FR)), axis=0)
+        assert limbs_to_ints(np.asarray(s[None]), FR)[0] == sum(xs) % FR.p
+
+
+class TestNtt:
+    @pytest.mark.parametrize("n", [8, 64])
+    def test_roundtrip_vs_host(self, n):
+        rng = test_rng()
+        dom = nt.get_domain(n)
+        coeffs = [FR.rand(rng) for _ in range(n)]
+        C = jnp.asarray(ints_to_limbs(coeffs, FR))
+        E = jax.jit(lambda c: nt.ntt(c, dom))(C)
+        assert limbs_to_ints(np.asarray(E), FR) == nt.ntt_host(coeffs, dom)
+        B = jax.jit(lambda e: nt.intt(e, dom))(E)
+        assert limbs_to_ints(np.asarray(B), FR) == coeffs
+
+    def test_coset(self):
+        rng = test_rng()
+        n = 16
+        dom = nt.get_domain(n)
+        g = FR.multiplicative_generator()
+        coeffs = [FR.rand(rng) for _ in range(n)]
+        C = jnp.asarray(ints_to_limbs(coeffs, FR))
+        E = jax.jit(lambda c: nt.coset_ntt(c, dom, g))(C)
+        els = dom.elements()
+        exp = []
+        for i in range(n):
+            x = g * els[i] % FR.p
+            acc = 0
+            for c in reversed(coeffs):
+                acc = (acc * x + c) % FR.p
+            exp.append(acc)
+        assert limbs_to_ints(np.asarray(E), FR) == exp
+        B = jax.jit(lambda e: nt.coset_intt(e, dom, g))(E)
+        assert limbs_to_ints(np.asarray(B), FR) == coeffs
+
+
+class TestEc:
+    def test_complete_add_cases(self):
+        rng = test_rng()
+        pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(8)]
+        qts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(8)]
+        pts[5] = qts[5]                       # doubling
+        qts[6] = None                         # identity operand
+        pts[7] = (qts[7][0], FQ.p - qts[7][1])  # inverse pair
+        P = ec.points_to_device(pts)
+        Q = ec.points_to_device(qts)
+        R = jax.jit(ec.ec_add)(P, Q)
+        for i in range(8):
+            got = ec.point_to_host(tuple(np.asarray(c)[i] for c in R))
+            assert got == g1_add(pts[i], qts[i]), i
+
+    def test_tree_reduce(self):
+        rng = test_rng()
+        pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(7)]
+        P = ec.points_to_device(pts)
+        got = ec.point_to_host(jax.jit(ec.tree_reduce)(P))
+        exp = None
+        for p in pts:
+            exp = g1_add(exp, p)
+        assert got == exp
+
+
+class TestMsm:
+    def test_small_bitwidth_msm(self):
+        """Full windowing logic with 16-bit scalars (CPU-feasible)."""
+        rng = test_rng()
+        n = 300
+        pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(n)]
+        scal = [rng.randrange(1 << 16) for _ in range(n)]
+        Pd, Sd = msm.pad_msm_inputs(pts, scal)
+        t_bits = jax.jit(lambda p, s: msm.msm_device(p, s, nbits=16))(Pd, Sd)
+        got = msm.horner_bits_host(msm.tbits_to_host(t_bits))
+        assert got == msm.msm_host_check(pts, scal)
+
+    def test_horner_host(self):
+        rng = test_rng()
+        pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(5)] + [None] * 3
+        got = msm.horner_bits_host(pts)
+        exp = None
+        for b, p in enumerate(pts):
+            if p is not None:
+                exp = g1_add(exp, g1_mul(p, 1 << b))
+        assert got == exp
+
+
+class TestJacobianHost:
+    def test_jacobian_ops(self):
+        from cap_tpu.crypto.bn254 import (
+            g1j_add,
+            g1j_double,
+            g1j_from_affine,
+            g1j_to_affine,
+        )
+
+        rng = test_rng()
+        a = g1_mul(G1_GEN, FR.rand(rng))
+        b = g1_mul(G1_GEN, FR.rand(rng))
+        assert g1j_to_affine(g1j_add(g1j_from_affine(a), g1j_from_affine(b))) == g1_add(a, b)
+        assert g1j_to_affine(g1j_double(g1j_from_affine(a))) == g1_add(a, a)
+        assert g1j_to_affine(g1j_add(g1j_from_affine(a), (1, 1, 0))) == a
