@@ -63,7 +63,8 @@ class TransactionNote:
         return self.note.nullifiers()
 
     def output_commitments(self) -> list:
-        return self.note.output_commitments()
+        oc = self.note.output_commitments
+        return oc() if callable(oc) else list(oc)
 
     def output_len(self) -> int:
         return len(self.output_commitments())

@@ -1,0 +1,261 @@
+"""Multi-party integration scenarios on the mock ledger (examples.rs twin).
+
+The SNARK layer is mocked (prove returns a placeholder, verify accepts) so
+the scenarios run on CPU in seconds while still exercising every other
+layer for real: witness/public-input assembly, host validation pipelines,
+circuit synthesis + satisfiability, memos, wallets, viewers, freezers,
+validators, blocks, nullifier sets and fee collection.  Real-proof e2e runs
+on TPU via scripts/run_e2e_tpu.py and the bench harness.
+"""
+
+import pytest
+
+from cap_tpu.crypto.merkle import AccMemberWitness
+from cap_tpu.errors import FailedTransactionVerificationError, TxnApiError
+from cap_tpu.fields.host import FR
+from cap_tpu.keys import FreezerKeyPair, UserKeyPair, ViewerKeyPair
+from cap_tpu.lib import (
+    TransactionNote,
+    calculate_fee,
+    sign_receiver_memos,
+    verify_receiver_memo_signature,
+)
+from cap_tpu.structs import (
+    AssetCode,
+    AssetDefinition,
+    AssetPolicy,
+    FeeInput,
+    ReceiverMemo,
+    RecordCommitment,
+    RecordOpening,
+    TxnFeeInfo,
+)
+from cap_tpu.transfer import TransferNote, TransferNoteInput
+from cap_tpu.mint import MintNote
+from cap_tpu.freeze import FreezeNote, FreezeNoteInput
+from cap_tpu.utils.mock_ledger import (
+    AssetIssuerMock,
+    LedgerStateMock,
+    SimpleUserWalletMock,
+    ValidatorMock,
+    ViewerMock,
+    FreezerMock,
+    MockBlock,
+)
+from cap_tpu.utils.rng import test_rng
+
+DEPTH = 5
+
+
+@pytest.fixture(autouse=True)
+def mock_snark(monkeypatch):
+    """Replace the SNARK with satisfiability-only checking."""
+    from cap_tpu.crypto.bn254 import G1_GEN
+    from cap_tpu.plonk.structs import PlonkProof
+
+    fake = PlonkProof(
+        wire_comms=[G1_GEN] * 5, z_comm=G1_GEN, t_comms=[G1_GEN] * 5,
+        wire_evals=[1] * 5, sigma_evals=[1] * 4, z_omega_eval=1,
+        w_zeta=G1_GEN, w_zeta_omega=G1_GEN,
+    )
+    import cap_tpu.plonk.prover as pv
+    import cap_tpu.plonk.verifier as vf
+
+    monkeypatch.setattr(pv, "prove", lambda *a, **k: fake)
+    monkeypatch.setattr(vf, "verify", lambda *a, **k: True)
+    monkeypatch.setattr(vf, "batch_verify", lambda *a, **k: True)
+    # proof modules imported `plonk_prover`/`plonk_verifier` by module ref
+    import cap_tpu.proof.mint as pm
+    import cap_tpu.proof.transfer as pt
+    import cap_tpu.proof.freeze as pf
+
+    for mod in (pm, pt, pf):
+        monkeypatch.setattr(mod.plonk_prover, "prove", lambda *a, **k: fake, raising=True)
+    yield
+
+
+class _Keys:
+    """Lazy preprocess-free key stand-ins (shape metadata only)."""
+
+    def __init__(self):
+        from cap_tpu.proof.freeze import FreezeProvingKey, FreezeVerifyingKey
+        from cap_tpu.proof.mint import MintProvingKey, MintVerifyingKey
+        from cap_tpu.proof.transfer import TransferProvingKey, TransferVerifyingKey
+
+        class _FakePlonk:
+            vk = None
+
+        self.transfer_pk = TransferProvingKey(_FakePlonk(), 2, 2, DEPTH)
+        self.transfer_vk = TransferVerifyingKey(None, 2, 2, DEPTH)
+        self.mint_pk = MintProvingKey(_FakePlonk(), DEPTH)
+        self.mint_vk = MintVerifyingKey(None, DEPTH)
+        self.freeze_pk = FreezeProvingKey(_FakePlonk(), 2, DEPTH)
+        self.freeze_vk = FreezeVerifyingKey(None, 2, DEPTH)
+
+
+def _setup_world():
+    rng = test_rng()
+    keys = _Keys()
+    ledger = LedgerStateMock(DEPTH)
+    validator = ValidatorMock(ledger, timestamp=1)
+    validator.register_vk("transfer", 2, 2, keys.transfer_vk)
+    validator.register_vk("mint", 1, 2, keys.mint_vk)
+    validator.register_vk("freeze", 2, 2, keys.freeze_vk)
+    return rng, keys, ledger, validator
+
+
+def test_full_lifecycle_mint_transfer_freeze():
+    rng, keys, ledger, validator = _setup_world()
+    issuer_kp = UserKeyPair.generate(rng)
+    alice = UserKeyPair.generate(rng)
+    bob = UserKeyPair.generate(rng)
+    viewer = ViewerKeyPair.generate(rng)
+    freezer = FreezerKeyPair.generate(rng)
+    fee_collector = UserKeyPair.generate(rng)
+
+    policy = (
+        AssetPolicy()
+        .set_viewer_pub_key(viewer.pub_key())
+        .reveal_record_opening()
+        .set_freezer_pub_key(freezer.pub_key())
+    )
+    issuer = AssetIssuerMock(rng, b"integration asset", policy)
+
+    # -- bootstrap: native records for fees -----------------------------------
+    issuer_fee_ro = RecordOpening.new(rng, 50, AssetDefinition.native(), issuer_kp.pub_key())
+    alice_fee_ro = RecordOpening.new(rng, 40, AssetDefinition.native(), alice.pub_key())
+    uid_issuer = ledger.insert_record(RecordCommitment.from_ro(issuer_fee_ro))
+    uid_alice_fee = ledger.insert_record(RecordCommitment.from_ro(alice_fee_ro))
+
+    # -- mint to alice ---------------------------------------------------------
+    fee_input = FeeInput(
+        issuer_fee_ro,
+        AccMemberWitness.lookup_from_tree(ledger.tree, uid_issuer),
+        issuer_kp,
+    )
+    fee_info, issuer_chg = TxnFeeInfo.new(rng, fee_input, 2)
+    mint_ro = RecordOpening.new(rng, 1000, issuer.asset_def, alice.pub_key())
+    mint_note, mint_sig_kp = MintNote.generate(
+        rng, mint_ro, issuer.seed, issuer.description, fee_info, keys.mint_pk
+    )
+    tn_mint = TransactionNote.mint(mint_note)
+    block = validator.validate_and_apply_block(rng, [tn_mint], fee_collector.pub_key())
+    assert block.fee_record.amount == 2
+    assert not ledger.check_nullifier_unspent(mint_note.input_nullifier)
+
+    # receiver memos: alice scans her minted record
+    memos = [
+        ReceiverMemo.from_ro(rng, issuer_chg),
+        ReceiverMemo.from_ro(rng, mint_ro),
+    ]
+    sig = sign_receiver_memos(mint_sig_kp, memos)
+    verify_receiver_memo_signature(tn_mint, memos, sig)
+    alice_wallet = SimpleUserWalletMock(rng, alice)
+    # mint outputs: [chg (uid X), mint (uid X+1)] -> find uids from block order
+    uid_chg = ledger.tree.num_leaves - 3  # chg, mint, fee_record appended
+    uid_mint = ledger.tree.num_leaves - 2
+    assert not alice_wallet.scan_memo(memos[0], mint_note.chg_comm, uid_chg)
+    assert alice_wallet.scan_memo(memos[1], mint_note.mint_comm, uid_mint)
+    assert alice_wallet.balance(issuer.asset_def.code) == 1000
+
+    # viewer decodes the mint memo
+    vm = ViewerMock(viewer, issuer.asset_def)
+    vd = vm.scan_mint(mint_note)
+    assert vd.user_address == alice.address()
+
+    # -- alice transfers 300 to bob -------------------------------------------
+    rec = alice_wallet.spendable_records(issuer.asset_def.code, 300)[0]
+    fee_input2 = FeeInput(
+        alice_fee_ro,
+        AccMemberWitness.lookup_from_tree(ledger.tree, uid_alice_fee),
+        alice,
+    )
+    fee_info2, _ = TxnFeeInfo.new(rng, fee_input2, 1)
+    t_inputs = [
+        TransferNoteInput(
+            ro=rec.ro,
+            acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, rec.uid),
+            owner_keypair=alice,
+        )
+    ]
+    bob_ro = RecordOpening.new(rng, 300, issuer.asset_def, bob.pub_key())
+    # change back to alice
+    alice_chg = RecordOpening.new(rng, 700, issuer.asset_def, alice.pub_key())
+    # 2-in/2-out: [fee, rec] -> [fee_chg, bob] — need 700 change... use
+    # outputs [bob_ro] only fits 2-out with fee change; so transfer full 1000
+    bob_ro = RecordOpening.new(rng, 1000, issuer.asset_def, bob.pub_key())
+    transfer_note, t_sig_kp = TransferNote.generate_non_native(
+        rng, t_inputs, [bob_ro], fee_info2, valid_until=5, proving_key=keys.transfer_pk
+    )
+    tn_tr = TransactionNote.transfer(transfer_note)
+    validator.timestamp = 2
+    validator.validate_and_apply_block(rng, [tn_tr], fee_collector.pub_key())
+    alice_wallet.mark_spent([rec])
+    assert alice_wallet.balance(issuer.asset_def.code) == 0
+
+    # viewer decodes the transfer memo
+    ins, outs = vm.scan_transfer(transfer_note)
+    assert any(o.user_address == bob.address() and o.amount == 1000 for o in outs)
+
+    # double spend is rejected
+    with pytest.raises(FailedTransactionVerificationError):
+        validator.validate_single(tn_tr)
+
+    # -- freezer freezes bob's record -----------------------------------------
+    bob_uid = ledger.tree.num_leaves - 2  # [fee_chg, bob, fee_record]
+    fm = FreezerMock(freezer)
+    out_vd = [o for o in outs if o.user_address == bob.address()][0]
+    # insert the freeze fee record FIRST so both witnesses share one root
+    frz_fee_ro = RecordOpening.new(rng, 9, AssetDefinition.native(), issuer_kp.pub_key())
+    uid_ffee = ledger.insert_record(RecordCommitment.from_ro(frz_fee_ro))
+    fz_input = fm.freeze_input_from_viewing_data(ledger, out_vd, bob_uid, issuer.asset_def)
+    fee_input3 = FeeInput(
+        frz_fee_ro, AccMemberWitness.lookup_from_tree(ledger.tree, uid_ffee), issuer_kp
+    )
+    fee_info3, _ = TxnFeeInfo.new(rng, fee_input3, 1)
+    freeze_note, f_sig_kp, frozen_outs = FreezeNote.generate(
+        rng, [fz_input], fee_info3, keys.freeze_pk
+    )
+    tn_fz = TransactionNote.freeze(freeze_note)
+    validator.validate_and_apply_block(rng, [tn_fz], fee_collector.pub_key())
+    assert frozen_outs[0].freeze_flag == 1
+
+    # total collected fees
+    assert calculate_fee([tn_mint, tn_tr, tn_fz]) == 4
+
+
+def test_block_intra_double_spend_rejected():
+    rng, keys, ledger, validator = _setup_world()
+    user = UserKeyPair.generate(rng)
+    fee_ro = RecordOpening.new(rng, 30, AssetDefinition.native(), user.pub_key())
+    uid = ledger.insert_record(RecordCommitment.from_ro(fee_ro))
+
+    def make_note():
+        fi = FeeInput(fee_ro, AccMemberWitness.lookup_from_tree(ledger.tree, uid), user)
+        info, _ = TxnFeeInfo.new(rng, fi, 1)
+        issuer = AssetIssuerMock(rng, b"x", AssetPolicy())
+        ro = RecordOpening.new(rng, 10, issuer.asset_def, user.pub_key())
+        note, _ = MintNote.generate(rng, ro, issuer.seed, issuer.description, info, keys.mint_pk)
+        return TransactionNote.mint(note)
+
+    n1, n2 = make_note(), make_note()
+    with pytest.raises(FailedTransactionVerificationError):
+        validator.validate_and_apply_block(rng, [n1, n2], user.pub_key())
+
+
+def test_unknown_root_rejected():
+    rng, keys, ledger, validator = _setup_world()
+    user = UserKeyPair.generate(rng)
+    # a note whose tree isn't the ledger's
+    from cap_tpu.crypto.merkle import MerkleTree
+
+    other = MerkleTree(DEPTH)
+    fee_ro = RecordOpening.new(rng, 30, AssetDefinition.native(), user.pub_key())
+    uid = other.push(fee_ro.derive_record_commitment())
+    fi = FeeInput(fee_ro, AccMemberWitness.lookup_from_tree(other, uid), user)
+    info, _ = TxnFeeInfo.new(rng, fi, 1)
+    issuer = AssetIssuerMock(rng, b"y", AssetPolicy())
+    ro = RecordOpening.new(rng, 5, issuer.asset_def, user.pub_key())
+    note, _ = MintNote.generate(rng, ro, issuer.seed, issuer.description, info, keys.mint_pk)
+    with pytest.raises(FailedTransactionVerificationError):
+        validator.validate_single(TransactionNote.mint(note))
