@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from cap_tpu.fields.host import FR, LIMB_BITS, NLIMBS
+from cap_tpu.fields.host import FQ, FR, LIMB_BITS, NLIMBS
 from cap_tpu.ops import ec
 from cap_tpu.ops.limbs import ints_to_limbs
 
@@ -153,6 +153,125 @@ def msm(points, scalars):
     """Full MSM: device bit-sums + host Horner.  Returns host affine point."""
     t_bits = msm_device(points, scalars)
     return horner_bits_host(tbits_to_host(t_bits))
+
+
+# ---------------------------------------------------------------------------
+# windowed MSM with a precomputed digit table (fixed-base: SRS commitments)
+# ---------------------------------------------------------------------------
+
+WINDOW_BITS = 8
+NUM_WINDOWS = 32          # ceil(254 / 8)
+WCHUNK = 2048             # points per accumulation step
+
+
+def build_window_table(px, py, m: int):
+    """Precompute P_i * d for d in [0, 256) for the first m SRS points.
+
+    Returns (tx, ty) of shape [mp, 256, 16] (Montgomery affine; the d=0 row
+    is garbage and masked out by digit!=0 at gather time) with mp = m padded
+    to a WCHUNK multiple.  One-time ~255*m lane-adds + one batched inversion.
+    """
+    from cap_tpu.ops import field_jax as fj
+
+    mp = ((m + WCHUNK - 1) // WCHUNK) * WCHUNK
+    pad = mp - m
+    if pad:
+        zero = jnp.zeros((pad, NLIMBS), jnp.uint32)
+        one = jnp.broadcast_to(jnp.asarray(ints_to_limbs([1], FQ)[0]), (pad, NLIMBS))
+        # pad with a placeholder (always masked out by zero digits)
+        px = jnp.concatenate([px, zero])
+        py = jnp.concatenate([py, one])
+
+    @jax.jit
+    def _build(px, py):
+        one_m = fj.one_mont((mp,), fj.FQ_CTX)
+        base = (px, py, one_m)
+
+        def body(d, carry):
+            acc, tx, ty, tz = carry
+            acc = ec.ec_add(acc, base)
+            tx = lax.dynamic_update_slice_in_dim(tx, acc[0][:, None], d, axis=1)
+            ty = lax.dynamic_update_slice_in_dim(ty, acc[1][:, None], d, axis=1)
+            tz = lax.dynamic_update_slice_in_dim(tz, acc[2][:, None], d, axis=1)
+            return acc, tx, ty, tz
+
+        tx = jnp.zeros((mp, 256, NLIMBS), jnp.uint32)
+        ty = jnp.zeros((mp, 256, NLIMBS), jnp.uint32)
+        tz = jnp.zeros((mp, 256, NLIMBS), jnp.uint32)
+        ident = ec.identity((mp,))
+        _, tx, ty, tz = lax.fori_loop(1, 256, body, (ident, tx, ty, tz))
+        # normalize to affine: all d>=1 rows have z != 0 for real points;
+        # padded identity rows divide by 1 after the select below
+        zsafe = fj.select(fj.is_zero(tz), fj.one_mont((mp, 256), fj.FQ_CTX), tz)
+        zinv = fj.inv(zsafe, fj.FQ_CTX)
+        ax = fj.mont_mul(tx, zinv, fj.FQ_CTX)
+        ay = fj.mont_mul(ty, zinv, fj.FQ_CTX)
+        return ax, ay
+
+    return _build(px, py)
+
+
+def scalar_digits(scalars):
+    """Base-256 digits of [n,16] plain limb scalars: [n, 32] int32."""
+    lo = (scalars & 0xFF).astype(jnp.int32)
+    hi = (scalars >> 8).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=-1).reshape(scalars.shape[0], NUM_WINDOWS)
+
+
+def msm_windowed_device(table, scalars):
+    """MSM via the digit table: returns [NUM_WINDOWS]-batched projective
+    points T_w = sum_i P_i * digit_w(s_i) (fold with horner_windows_host)."""
+    from cap_tpu.ops import field_jax as fj
+
+    tx, ty = table
+    mp = tx.shape[0]
+    n = scalars.shape[0]
+    assert n == mp, "scalars must be padded to the table size"
+    digits = scalar_digits(scalars)  # [n, 32]
+    nchunks = mp // WCHUNK
+    ident = ec.identity((NUM_WINDOWS, WCHUNK))
+    one_fq = fj.one_mont((NUM_WINDOWS, WCHUNK), fj.FQ_CTX)
+    zero_fq = fj.zero((NUM_WINDOWS, WCHUNK), fj.FQ_CTX)
+
+    def chunk_body(k, acc):
+        txc = lax.dynamic_slice_in_dim(tx, k * WCHUNK, WCHUNK, axis=0)
+        tyc = lax.dynamic_slice_in_dim(ty, k * WCHUNK, WCHUNK, axis=0)
+        dg = lax.dynamic_slice_in_dim(digits, k * WCHUNK, WCHUNK, axis=0)  # [C,32]
+        idx = dg[:, :, None]  # [C, 32, 1]
+        gx = jnp.take_along_axis(txc, idx, axis=1)  # [C, 32, 16]
+        gy = jnp.take_along_axis(tyc, idx, axis=1)
+        gx = jnp.moveaxis(gx, 0, 1)  # [32, C, 16]
+        gy = jnp.moveaxis(gy, 0, 1)
+        nonzero = (jnp.transpose(dg) != 0)[..., None]  # [32, C, 1]
+        # digit 0 -> the canonical identity (0 : 1 : 0); garbage coordinates
+        # would violate the on-curve precondition of the complete formulas
+        gx = jnp.where(nonzero, gx, zero_fq)
+        gy = jnp.where(nonzero, gy, one_fq)
+        gz = jnp.where(nonzero, one_fq, zero_fq)
+        return ec.ec_add(acc, (gx, gy, gz))
+
+    acc = lax.fori_loop(0, nchunks, chunk_body, ident)
+    width = WCHUNK
+    while width > 1:
+        half = width // 2
+        lo = tuple(c[:, :half] for c in acc)
+        hi = tuple(c[:, half:width] for c in acc)
+        acc = ec.ec_add(lo, hi)
+        width = half
+    return tuple(c[:, 0] for c in acc)  # [32] points
+
+
+def horner_windows_host(t_windows_host):
+    """sum_w 256^w T_w on host (31*8 doublings + 31 adds)."""
+    from cap_tpu.crypto.bn254 import g1j_add, g1j_double, g1j_from_affine, g1j_to_affine
+
+    acc = (1, 1, 0)
+    for pt in reversed(t_windows_host):
+        for _ in range(WINDOW_BITS):
+            acc = g1j_double(acc)
+        if pt is not None:
+            acc = g1j_add(acc, g1j_from_affine(pt))
+    return g1j_to_affine(acc)
 
 
 def batch_scalar_mul_gen(scalars, base_pow_table):

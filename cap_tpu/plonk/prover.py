@@ -57,9 +57,42 @@ def srs_pad(c, m):
     return jnp.concatenate([c, jnp.zeros((m - c.shape[0], NLIMBS), jnp.uint32)], axis=0)
 
 
+_msm_windowed_many = jax.jit(
+    lambda tab, coeffs: jax.vmap(lambda s: msm_mod.msm_windowed_device(tab, s))(coeffs)
+)
+
+
+def _window_table(srs, m: int):
+    """Lazily build (and cache on the srs) the digit table covering >= m."""
+    mp = ((m + msm_mod.WCHUNK - 1) // msm_mod.WCHUNK) * msm_mod.WCHUNK
+    cached = getattr(srs, "_window_table", None)
+    if cached is None or cached[0] < mp:
+        k = min(mp, srs.num_points)
+        tx, ty = msm_mod.build_window_table(srs.g1_x[:k], srs.g1_y[:k], k)
+        srs._window_table = (tx.shape[0], tx, ty)
+        cached = srs._window_table
+    return cached
+
+
 def commit_batch(srs, coeffs_plain_batch) -> list:
-    """Commit [k, m, 16] plain coefficient arrays -> k host affine points."""
+    """Commit [k, m, 16] plain coefficient arrays -> k host affine points.
+
+    Two paths: the windowed-digit MSM (8-bit digits against a precomputed
+    SRS multiple table — 8x fewer EC adds) when CAP_MSM_WINDOWED=1, else
+    the per-bit masked MSM."""
+    import os
+
     k, m, _ = coeffs_plain_batch.shape
+    if os.environ.get("CAP_MSM_WINDOWED", "0") == "1":
+        mp, tx, ty = _window_table(srs, m)
+        padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, mp)
+        tw = _msm_windowed_many((tx[:mp], ty[:mp]), padded)
+        tw_np = tuple(np.asarray(c) for c in tw)
+        out = []
+        for i in range(k):
+            twi = tuple(c[i] for c in tw_np)
+            out.append(msm_mod.horner_windows_host(msm_mod.tbits_to_host(twi)))
+        return out
     pts = srs_mod._padded_points(srs, m)
     padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, pts[0].shape[0])
     tb = _msm_many_dev(pts, padded)
