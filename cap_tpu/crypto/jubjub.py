@@ -29,6 +29,21 @@ COFACTOR = 8
 BASE_X = 5299619240641551281634865583518297030282874472190772894086521144482721001553
 BASE_Y = 16950150798460657717958625567821834550301663161624707787222815936182638968203
 
+_native_mod = None
+
+
+def _native():
+    """Lazy handle to the C++ accelerator (None if unavailable)."""
+    global _native_mod
+    if _native_mod is None:
+        try:
+            from cap_tpu.utils import native
+
+            _native_mod = native if native.HAVE_NATIVE else False
+        except Exception:
+            _native_mod = False
+    return _native_mod if _native_mod is not False else None
+
 
 @dataclass(frozen=True)
 class TEPoint:
@@ -50,6 +65,9 @@ class TEPoint:
         return TEPoint(FR.neg(self.x), self.y)
 
     def add(self, other: "TEPoint") -> "TEPoint":
+        nat = _native()
+        if nat is not None:
+            return TEPoint(*nat.te_add(self.x, self.y, other.x, other.y))
         f = FR
         x1, y1, x2, y2 = self.x, self.y, other.x, other.y
         x1x2 = f.mul(x1, x2)
@@ -66,6 +84,9 @@ class TEPoint:
 
     def mul_scalar(self, k: int) -> "TEPoint":
         k %= SUBGROUP_ORDER * COFACTOR  # safe upper bound for group order
+        nat = _native()
+        if nat is not None:
+            return TEPoint(*nat.te_mul(self.x, self.y, k))
         acc = NEUTRAL
         base = self
         while k:

@@ -165,11 +165,12 @@ WCHUNK = 2048             # points per accumulation step
 
 
 def build_window_table(px, py, m: int):
-    """Precompute P_i * d for d in [0, 256) for the first m SRS points.
+    """Precompute P_i * d for d in [1, 256) for the first m SRS points.
 
-    Returns (tx, ty) of shape [mp, 256, 16] (Montgomery affine; the d=0 row
-    is garbage and masked out by digit!=0 at gather time) with mp = m padded
-    to a WCHUNK multiple.  One-time ~255*m lane-adds + one batched inversion.
+    Returns (tx, ty) of shape [256, mp, 16] (d-major Montgomery affine; the
+    d=0 row is the base point but masked out by digit!=0 at gather time)
+    with mp = m padded to a WCHUNK multiple.  Built with a scan-collect (no
+    giant in-place updates) + one batched inversion.
     """
     from cap_tpu.ops import field_jax as fj
 
@@ -183,32 +184,34 @@ def build_window_table(px, py, m: int):
         py = jnp.concatenate([py, one])
 
     @jax.jit
-    def _build(px, py):
-        one_m = fj.one_mont((mp,), fj.FQ_CTX)
+    def _build_block(px, py):
+        """One WCHUNK block — keeps peak allocations ~tens of MB."""
+        one_m = fj.one_mont((WCHUNK,), fj.FQ_CTX)
         base = (px, py, one_m)
 
-        def body(d, carry):
-            acc, tx, ty, tz = carry
+        def step(acc, _):
             acc = ec.ec_add(acc, base)
-            tx = lax.dynamic_update_slice_in_dim(tx, acc[0][:, None], d, axis=1)
-            ty = lax.dynamic_update_slice_in_dim(ty, acc[1][:, None], d, axis=1)
-            tz = lax.dynamic_update_slice_in_dim(tz, acc[2][:, None], d, axis=1)
-            return acc, tx, ty, tz
+            return acc, acc
 
-        tx = jnp.zeros((mp, 256, NLIMBS), jnp.uint32)
-        ty = jnp.zeros((mp, 256, NLIMBS), jnp.uint32)
-        tz = jnp.zeros((mp, 256, NLIMBS), jnp.uint32)
-        ident = ec.identity((mp,))
-        _, tx, ty, tz = lax.fori_loop(1, 256, body, (ident, tx, ty, tz))
-        # normalize to affine: all d>=1 rows have z != 0 for real points;
-        # padded identity rows divide by 1 after the select below
-        zsafe = fj.select(fj.is_zero(tz), fj.one_mont((mp, 256), fj.FQ_CTX), tz)
-        zinv = fj.inv(zsafe, fj.FQ_CTX)
+        _, (txs, tys, tzs) = lax.scan(step, ec.identity((WCHUNK,)), None, length=255)
+        # prepend the d=0 row (masked at gather time; use the base so the
+        # batched inversion below never sees a zero z)
+        tx = jnp.concatenate([px[None], txs], axis=0)   # [256, WCHUNK, 16]
+        ty = jnp.concatenate([py[None], tys], axis=0)
+        tz = jnp.concatenate([one_m[None], tzs], axis=0)
+        zinv = fj.inv(tz, fj.FQ_CTX)
         ax = fj.mont_mul(tx, zinv, fj.FQ_CTX)
         ay = fj.mont_mul(ty, zinv, fj.FQ_CTX)
         return ax, ay
 
-    return _build(px, py)
+    blocks_x, blocks_y = [], []
+    for k in range(mp // WCHUNK):
+        bx, by = _build_block(
+            px[k * WCHUNK : (k + 1) * WCHUNK], py[k * WCHUNK : (k + 1) * WCHUNK]
+        )
+        blocks_x.append(bx)
+        blocks_y.append(by)
+    return jnp.concatenate(blocks_x, axis=1), jnp.concatenate(blocks_y, axis=1)
 
 
 def scalar_digits(scalars):
@@ -224,7 +227,7 @@ def msm_windowed_device(table, scalars):
     from cap_tpu.ops import field_jax as fj
 
     tx, ty = table
-    mp = tx.shape[0]
+    mp = tx.shape[1]
     n = scalars.shape[0]
     assert n == mp, "scalars must be padded to the table size"
     digits = scalar_digits(scalars)  # [n, 32]
@@ -234,14 +237,12 @@ def msm_windowed_device(table, scalars):
     zero_fq = fj.zero((NUM_WINDOWS, WCHUNK), fj.FQ_CTX)
 
     def chunk_body(k, acc):
-        txc = lax.dynamic_slice_in_dim(tx, k * WCHUNK, WCHUNK, axis=0)
-        tyc = lax.dynamic_slice_in_dim(ty, k * WCHUNK, WCHUNK, axis=0)
+        txc = lax.dynamic_slice_in_dim(tx, k * WCHUNK, WCHUNK, axis=1)  # [256,C,16]
+        tyc = lax.dynamic_slice_in_dim(ty, k * WCHUNK, WCHUNK, axis=1)
         dg = lax.dynamic_slice_in_dim(digits, k * WCHUNK, WCHUNK, axis=0)  # [C,32]
-        idx = dg[:, :, None]  # [C, 32, 1]
-        gx = jnp.take_along_axis(txc, idx, axis=1)  # [C, 32, 16]
-        gy = jnp.take_along_axis(tyc, idx, axis=1)
-        gx = jnp.moveaxis(gx, 0, 1)  # [32, C, 16]
-        gy = jnp.moveaxis(gy, 0, 1)
+        idx = jnp.transpose(dg)[:, :, None]  # [32, C, 1]
+        gx = jnp.take_along_axis(txc, idx, axis=0)  # [32, C, 16]
+        gy = jnp.take_along_axis(tyc, idx, axis=0)
         nonzero = (jnp.transpose(dg) != 0)[..., None]  # [32, C, 1]
         # digit 0 -> the canonical identity (0 : 1 : 0); garbage coordinates
         # would violate the on-curve precondition of the complete formulas

@@ -24,23 +24,62 @@ _params = rescue_params(FR)
 _host_perm = RescuePermutation(FR)
 
 
+_native_trace = None
+
+
+def _trace_fn():
+    global _native_trace
+    if _native_trace is None:
+        try:
+            from cap_tpu.utils import native
+
+            _native_trace = native.rescue_trace if native.HAVE_NATIVE else False
+        except Exception:
+            _native_trace = False
+    return _native_trace if _native_trace is not False else None
+
+
 def rescue_permutation_gadget(c: PlonkCircuit, state):
-    """state: 4 vars -> 4 vars after one full Rescue permutation."""
+    """state: 4 vars -> 4 vars after one full Rescue permutation.
+
+    Witness values come from the C++ trace (one call per permutation) when
+    available; the constraint structure is identical either way.
+    """
     assert len(state) == STATE_WIDTH
     p = c.f.p
     pr = _params
     mds = pr.mds
+    tf = _trace_fn()
+    trace = tf([c.witness(v) for v in state]) if tf is not None else None
+    w = 0
+
+    def wval(compute):
+        nonlocal w
+        if trace is not None:
+            v = trace[w]
+            w += 1
+            return v
+        return compute()
+
     # initial key injection
-    s = [c.add_constant(state[i], pr.round_keys[0][i]) for i in range(STATE_WIDTH)]
+    s = []
+    for i in range(STATE_WIDTH):
+        vi = wval(lambda i=i: (c.witness(state[i]) + pr.round_keys[0][i]) % p)
+        si = c.create_variable(vi)
+        c.custom_gate([state[i], 0, 0, 0, si], lc0=1, c=pr.round_keys[0][i], o=1)
+        s.append(si)
     for r in range(ROUNDS):
         k1 = pr.round_keys[2 * r + 1]
         k2 = pr.round_keys[2 * r + 2]
         # forward S-box + MDS fused: t_i = sum_j M[i][j] s_j^5 + k1_i
-        sv = [c.witness(x) for x in s]
-        s5 = [pow(v, pr.alpha, p) for v in sv]
+        if trace is None:
+            sv = [c.witness(x) for x in s]
+            s5 = [pow(v, pr.alpha, p) for v in sv]
         t = []
         for i in range(STATE_WIDTH):
-            tv = (sum(mds[i][j] * s5[j] for j in range(STATE_WIDTH)) + k1[i]) % p
+            tv = wval(
+                lambda i=i: (sum(mds[i][j] * s5[j] for j in range(STATE_WIDTH)) + k1[i]) % p
+            )
             ti = c.create_variable(tv)
             c.custom_gate(
                 list(s) + [ti],
@@ -51,14 +90,20 @@ def rescue_permutation_gadget(c: PlonkCircuit, state):
         # inverse S-box: witness u_j with u_j^5 == t_j
         u = []
         for j in range(STATE_WIDTH):
-            uv = pow(c.witness(t[j]), pr.alpha_inv, p)
+            uv = wval(lambda j=j: pow(c.witness(t[j]), pr.alpha_inv, p))
             uj = c.create_variable(uv)
             c.custom_gate([uj, 0, 0, 0, t[j]], hash0=1, o=1)
             u.append(uj)
         # MDS + key injection
-        s = [
-            c.lc_with_constant(u, list(mds[i]), k2[i]) for i in range(STATE_WIDTH)
-        ]
+        s = []
+        for i in range(STATE_WIDTH):
+            sv_ = wval(
+                lambda i=i: (sum(mds[i][j] * c.witness(u[j]) for j in range(STATE_WIDTH)) + k2[i]) % p
+            )
+            si = c.create_variable(sv_)
+            sels = {f"lc{j}": mds[i][j] for j in range(STATE_WIDTH)}
+            c.custom_gate(list(u) + [si], o=1, c=k2[i], **sels)
+            s.append(si)
     return s
 
 

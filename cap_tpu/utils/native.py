@@ -75,6 +75,9 @@ def _init_lib() -> bool:
         (ctypes.c_uint64 * len(rk_flat))(*rk_flat),
         U64_4(*ainv),
     )
+    from cap_tpu.crypto.jubjub import COEFF_A, COEFF_D
+
+    lib.cap_te_init(U64_4(*mont(COEFF_A)), U64_4(*mont(COEFF_D)))
     _lib = lib
     HAVE_NATIVE = True
     return True
@@ -125,6 +128,59 @@ def g1_mul(pt, scalar: int):
     zinv = pow(z, -1, FQ.p)
     zi2 = zinv * zinv % FQ.p
     return (x * zi2 % FQ.p, y * zi2 % FQ.p * zinv % FQ.p)
+
+
+def _pack_fr_mont(vals, buf, off=0):
+    for i, v in enumerate(vals):
+        m = v * _R256_FR % FR.p
+        for k in range(4):
+            buf[off + 4 * i + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+
+
+def _unpack_fr_mont(buf, count, off=0):
+    out = []
+    for i in range(count):
+        v = sum(int(buf[off + 4 * i + k]) << (64 * k) for k in range(4))
+        out.append(v * _RINV_FR % FR.p)
+    return out
+
+
+def te_add(x1, y1, x2, y2):
+    """Native TE point add on affine ints; None if unavailable."""
+    if not HAVE_NATIVE:
+        return None
+    a = (ctypes.c_uint64 * 8)()
+    b = (ctypes.c_uint64 * 8)()
+    _pack_fr_mont([x1, y1], a)
+    _pack_fr_mont([x2, y2], b)
+    out = (ctypes.c_uint64 * 8)()
+    _lib.cap_te_add(a, b, out)
+    r = _unpack_fr_mont(out, 2)
+    return r[0], r[1]
+
+
+def te_mul(x, y, scalar: int):
+    """Native TE scalar mul; None if unavailable."""
+    if not HAVE_NATIVE:
+        return None
+    a = (ctypes.c_uint64 * 8)()
+    _pack_fr_mont([x, y], a)
+    sc = U64_4(*_to_limbs64(scalar))
+    out = (ctypes.c_uint64 * 8)()
+    _lib.cap_te_mul(a, sc, out)
+    r = _unpack_fr_mont(out, 2)
+    return r[0], r[1]
+
+
+def rescue_trace(state4):
+    """Full per-round witness trace (4 + 144 values); None if unavailable."""
+    if not HAVE_NATIVE:
+        return None
+    st = (ctypes.c_uint64 * 16)()
+    _pack_fr_mont(state4, st)
+    out = (ctypes.c_uint64 * (4 * 148))()
+    _lib.cap_rescue_trace(st, out)
+    return _unpack_fr_mont(out, 148)
 
 
 def keccak_f1600(state25: list) -> list | None:

@@ -191,6 +191,107 @@ void cap_rescue_permute_many(u64* states, int n) {
     for (int i = 0; i < n; ++i) cap_rescue_permute(states + 16 * i);
 }
 
+// state: 4 elements x 4 limbs Montgomery; trace: 4 + 12*12 elements out —
+// layout [s_init(4)] + per round [t(4), u(4), s(4)] — exactly the witness
+// values the Rescue circuit gadget creates (plonk/gadgets/rescue.py).
+void cap_rescue_trace(const u64* state_flat, u64* trace_out) {
+    u64 st[4][4], t[4][4], u[4][4];
+    memcpy(st, state_flat, sizeof(st));
+    int w = 0;
+    for (int i = 0; i < 4; ++i) f_add(g_fr, st[i], g_rk[0][i], st[i]);
+    for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, st[i], 32); ++w; }
+    for (int r = 0; r < 12; ++r) {
+        u64 sb[4][4];
+        for (int i = 0; i < 4; ++i) sbox5(st[i], sb[i]);
+        mds_key(sb, g_rk[2 * r + 1], t);
+        for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, t[i], 32); ++w; }
+        for (int i = 0; i < 4; ++i) f_pow(g_fr, t[i], g_alpha_inv, u[i]);
+        for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, u[i], 32); ++w; }
+        mds_key(u, g_rk[2 * r + 2], st);
+        for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, st[i], 32); ++w; }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Twisted Edwards (Baby Jubjub) over Fr: a*x^2+y^2 = 1+d*x^2*y^2
+// ---------------------------------------------------------------------------
+
+static u64 g_te_a[4], g_te_d[4], g_fr_pm2[4];
+
+void cap_te_init(const u64* a_mont, const u64* d_mont) {
+    memcpy(g_te_a, a_mont, 32);
+    memcpy(g_te_d, d_mont, 32);
+    // p - 2 for Fermat inversion
+    u64 two[4] = {2, 0, 0, 0};
+    u128 borrow = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 dd = (u128)g_fr.p[i] - two[i] - borrow;
+        g_fr_pm2[i] = (u64)dd;
+        borrow = (dd >> 64) ? 1 : 0;
+    }
+}
+
+struct TEP { u64 x[4], y[4], z[4]; };  // projective, Montgomery
+
+// add-2008-bbjlp projective TE addition (complete for non-square d)
+static void te_add(const TEP* p, const TEP* q, TEP* out) {
+    u64 A[4], B[4], C[4], D[4], E[4], F[4], G[4], t1[4], t2[4], t3[4];
+    f_mul(g_fr, p->z, q->z, A);
+    f_mul(g_fr, A, A, B);
+    f_mul(g_fr, p->x, q->x, C);
+    f_mul(g_fr, p->y, q->y, D);
+    f_mul(g_fr, C, D, E);
+    f_mul(g_fr, E, g_te_d, E);
+    f_sub(g_fr, B, E, F);
+    f_add(g_fr, B, E, G);
+    f_add(g_fr, p->x, p->y, t1);
+    f_add(g_fr, q->x, q->y, t2);
+    f_mul(g_fr, t1, t2, t3);
+    f_sub(g_fr, t3, C, t3);
+    f_sub(g_fr, t3, D, t3);          // (x1+y1)(x2+y2) - C - D
+    TEP r;
+    f_mul(g_fr, A, F, t1);
+    f_mul(g_fr, t1, t3, r.x);
+    f_mul(g_fr, C, g_te_a, t2);
+    f_sub(g_fr, D, t2, t2);          // D - a*C
+    f_mul(g_fr, A, G, t1);
+    f_mul(g_fr, t1, t2, r.y);
+    f_mul(g_fr, F, G, r.z);
+    *out = r;
+}
+
+static void te_normalize(const TEP* p, u64* out_xy) {
+    u64 zi[4];
+    f_pow(g_fr, p->z, g_fr_pm2, zi);
+    f_mul(g_fr, p->x, zi, out_xy);
+    f_mul(g_fr, p->y, zi, out_xy + 4);
+}
+
+// affine Montgomery (x,y) in/out
+void cap_te_add(const u64* p1, const u64* p2, u64* out) {
+    TEP a, b, r;
+    memcpy(a.x, p1, 32); memcpy(a.y, p1 + 4, 32); memcpy(a.z, g_fr.one, 32);
+    memcpy(b.x, p2, 32); memcpy(b.y, p2 + 4, 32); memcpy(b.z, g_fr.one, 32);
+    te_add(&a, &b, &r);
+    te_normalize(&r, out);
+}
+
+// pt affine Montgomery (x,y); scalar plain LE u64x4; out affine Montgomery
+void cap_te_mul(const u64* pt, const u64* scalar, u64* out) {
+    TEP base, acc;
+    memcpy(base.x, pt, 32); memcpy(base.y, pt + 4, 32); memcpy(base.z, g_fr.one, 32);
+    memset(acc.x, 0, 32);
+    memcpy(acc.y, g_fr.one, 32);
+    memcpy(acc.z, g_fr.one, 32);     // neutral (0 : 1 : 1)
+    for (int limb = 3; limb >= 0; --limb) {
+        for (int k = 63; k >= 0; --k) {
+            te_add(&acc, &acc, &acc);
+            if ((scalar[limb] >> k) & 1) te_add(&acc, &base, &acc);
+        }
+    }
+    te_normalize(&acc, out);
+}
+
 // ---------------------------------------------------------------------------
 // BN254 G1 Jacobian (x, y, z Montgomery in Fq; z == 0 -> infinity)
 // ---------------------------------------------------------------------------
