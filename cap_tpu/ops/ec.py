@@ -65,6 +65,33 @@ def ec_add(p1, p2):
     return x3, y3, z3
 
 
+def ec_add_mixed(p1, p2_affine):
+    """Complete mixed addition (RCB15 alg. 8, a=0): p1 projective (may be the
+    identity), p2 affine and NOT the identity.  11M + 2 mul-by-3b."""
+    x1, y1, z1 = p1
+    x2, y2 = p2_affine
+    m = lambda a, b: fj.mont_mul(a, b, FQ_CTX)
+    add = lambda a, b: fj.add(a, b, FQ_CTX)
+    sub = lambda a, b: fj.sub(a, b, FQ_CTX)
+    b3 = jnp.asarray(_B3_MONT)
+
+    t0 = m(x1, x2)
+    t1 = m(y1, y2)
+    t3 = m(add(x2, y2), add(x1, y1))
+    t3 = sub(t3, add(t0, t1))            # x1y2 + x2y1
+    t4 = add(m(y2, z1), y1)              # y1 + y2z1
+    y3 = add(m(x2, z1), x1)              # x1 + x2z1
+    t0 = add(add(t0, t0), t0)            # 3*x1x2
+    t2 = m(b3, z1)
+    z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    y3 = m(b3, y3)
+    x3 = sub(m(t3, t1), m(t4, y3))
+    y3 = add(m(y3, t0), m(t1, z3))
+    z3 = add(m(z3, t4), m(t0, t3))
+    return x3, y3, z3
+
+
 def ec_double(p):
     return ec_add(p, p)
 

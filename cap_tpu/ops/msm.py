@@ -233,8 +233,6 @@ def msm_windowed_device(table, scalars):
     digits = scalar_digits(scalars)  # [n, 32]
     nchunks = mp // WCHUNK
     ident = ec.identity((NUM_WINDOWS, WCHUNK))
-    one_fq = fj.one_mont((NUM_WINDOWS, WCHUNK), fj.FQ_CTX)
-    zero_fq = fj.zero((NUM_WINDOWS, WCHUNK), fj.FQ_CTX)
 
     def chunk_body(k, acc):
         txc = lax.dynamic_slice_in_dim(tx, k * WCHUNK, WCHUNK, axis=1)  # [256,C,16]
@@ -244,12 +242,10 @@ def msm_windowed_device(table, scalars):
         gx = jnp.take_along_axis(txc, idx, axis=0)  # [32, C, 16]
         gy = jnp.take_along_axis(tyc, idx, axis=0)
         nonzero = (jnp.transpose(dg) != 0)[..., None]  # [32, C, 1]
-        # digit 0 -> the canonical identity (0 : 1 : 0); garbage coordinates
-        # would violate the on-curve precondition of the complete formulas
-        gx = jnp.where(nonzero, gx, zero_fq)
-        gy = jnp.where(nonzero, gy, one_fq)
-        gz = jnp.where(nonzero, one_fq, zero_fq)
-        return ec.ec_add(acc, (gx, gy, gz))
+        # mixed addition needs a non-identity affine addend; digit-0 lanes add
+        # a garbage point and the select below restores the untouched acc
+        cand = ec.ec_add_mixed(acc, (gx, gy))
+        return tuple(jnp.where(nonzero, cn, ac) for cn, ac in zip(cand, acc))
 
     acc = lax.fori_loop(0, nchunks, chunk_body, ident)
     width = WCHUNK

@@ -51,6 +51,14 @@ _msm_many_dev = jax.jit(
     lambda pts, coeffs: jax.vmap(lambda s: msm_mod.msm_device(pts, s))(coeffs)
 )
 
+_to_mont_j = jax.jit(fj.to_mont)
+
+
+def gather_wires(plonk_pk, witness_values) -> list:
+    """Witness gathered per wire column via the key's cached arithmetization
+    (avoids re-running finalize_for_arithmetization on every prove)."""
+    return [[witness_values[i] for i in col] for col in plonk_pk.wire_index]
+
 
 def srs_pad(c, m):
     """Zero-pad a [k,16] coefficient array to [m,16]."""
@@ -366,10 +374,10 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
     if ext_msg is not None:
         transcript.append_bytes(b"ext", ext_msg)
 
-    # round 1 — wire polynomials
-    wire_evals = jnp.asarray(
-        np.stack([ints_to_limbs(w, FR) for w in wire_values])
-    )
+    # round 1 — wire polynomials (packed plain, Montgomery-converted on device
+    # — saves ~160k host Montgomery muls per proof)
+    wire_plain = jnp.asarray(np.stack([ints_to_limbs(w) for w in wire_values]))
+    wire_evals = _to_mont_j(wire_plain)
     blinds1 = _mont_many([FR.rand(rng) for _ in range(10)]).reshape(5, 2, NLIMBS)
     wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1)
     wire_comms = commit_batch(srs, wire_plain)
@@ -395,6 +403,12 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
         _mont(alpha), _mont(beta), _mont(gamma),
     )
     t_comms = commit_batch(srs, t_plain)
+    if not bool(tail_ok):
+        # F(X) is not divisible by Z_H — the witness does not satisfy the
+        # circuit (device-side replacement for the Python row sweep)
+        from cap_tpu.errors import FailedConstraintSystemError
+
+        raise FailedConstraintSystemError("witness does not satisfy the circuit")
     transcript.append_points(b"t", t_comms)
     zeta = transcript.challenge(b"zeta")
 

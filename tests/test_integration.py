@@ -62,6 +62,7 @@ def mock_snark(monkeypatch):
     import cap_tpu.plonk.verifier as vf
 
     monkeypatch.setattr(pv, "prove", lambda *a, **k: fake)
+    monkeypatch.setattr(pv, "gather_wires", lambda pk, wv: [[], [], [], [], []])
     monkeypatch.setattr(vf, "verify", lambda *a, **k: True)
     monkeypatch.setattr(vf, "batch_verify", lambda *a, **k: True)
     # proof modules imported `plonk_prover`/`plonk_verifier` by module ref

@@ -96,6 +96,20 @@ class TestEc:
             got = ec.point_to_host(tuple(np.asarray(c)[i] for c in R))
             assert got == g1_add(pts[i], qts[i]), i
 
+    def test_mixed_add(self):
+        rng = test_rng()
+        pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(8)]
+        qts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(8)]
+        pts[3] = qts[3]  # doubling case
+        pts[5] = None    # identity accumulator
+        P = ec.points_to_device(pts)
+        qx = jnp.asarray(ints_to_limbs([q[0] for q in qts], FQ))
+        qy = jnp.asarray(ints_to_limbs([q[1] for q in qts], FQ))
+        R = jax.jit(ec.ec_add_mixed)(P, (qx, qy))
+        for i in range(8):
+            got = ec.point_to_host(tuple(np.asarray(c)[i] for c in R))
+            assert got == g1_add(pts[i], qts[i]), i
+
     def test_tree_reduce(self):
         rng = test_rng()
         pts = [g1_mul(G1_GEN, FR.rand(rng)) for _ in range(7)]
