@@ -258,6 +258,49 @@ def msm_windowed_device(table, scalars):
     return tuple(c[:, 0] for c in acc)  # [32] points
 
 
+def msm_windowed_device_pallas(table, scalars):
+    """Windowed MSM with the fused Pallas mixed-add kernel: the accumulator
+    stays in limb-major tiled layout across all chunk steps; only the
+    gathered table rows are converted per step (cheap)."""
+    from cap_tpu.ops import pallas_field as pfl
+
+    tx, ty = table
+    mp = tx.shape[1]
+    n = scalars.shape[0]
+    assert n == mp, "scalars must be padded to the table size"
+    digits = scalar_digits(scalars)  # [n, 32]
+    nchunks = mp // WCHUNK
+    nlanes = NUM_WINDOWS * WCHUNK
+    ident = ec.identity((nlanes,))
+    acc_t = tuple(pfl.to_limb_major(c) for c in ident)
+
+    def chunk_body(k, acc_t):
+        txc = lax.dynamic_slice_in_dim(tx, k * WCHUNK, WCHUNK, axis=1)  # [256,C,16]
+        tyc = lax.dynamic_slice_in_dim(ty, k * WCHUNK, WCHUNK, axis=1)
+        dg = lax.dynamic_slice_in_dim(digits, k * WCHUNK, WCHUNK, axis=0)  # [C,32]
+        dgt = jnp.transpose(dg)                                            # [32,C]
+        idx = dgt[:, :, None]
+        gx = jnp.take_along_axis(txc, idx, axis=0).reshape(nlanes, NLIMBS)
+        gy = jnp.take_along_axis(tyc, idx, axis=0).reshape(nlanes, NLIMBS)
+        mask3 = (dgt != 0).astype(jnp.uint32).reshape(-1, 1, 128)
+        g_t = (pfl.to_limb_major(gx), pfl.to_limb_major(gy))
+        return pfl.ec_add_mixed_pallas_tiled(acc_t, g_t, mask3)
+
+    acc_t = lax.fori_loop(0, nchunks, chunk_body, acc_t)
+    accs = tuple(
+        pfl.from_limb_major(c).reshape(NUM_WINDOWS, WCHUNK, NLIMBS) for c in acc_t
+    )
+    width = WCHUNK
+    acc = accs
+    while width > 1:
+        half = width // 2
+        lo = tuple(c[:, :half] for c in acc)
+        hi = tuple(c[:, half:width] for c in acc)
+        acc = ec.ec_add(lo, hi)
+        width = half
+    return tuple(c[:, 0] for c in acc)
+
+
 def horner_windows_host(t_windows_host):
     """sum_w 256^w T_w on host (31*8 doublings + 31 adds)."""
     from cap_tpu.crypto.bn254 import g1j_add, g1j_double, g1j_from_affine, g1j_to_affine

@@ -359,10 +359,25 @@ def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
 def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = None) -> PlonkProof:
     """Generate a TurboPlonk proof.
 
-    wire_values: 5 lists of ints (length n) — from circuit.wire_values().
+    wire_values: 5 lists of ints (length n) — from gather_wires().
     pub_inputs: list of ints (the circuit's public inputs, in order).
     ext_msg: extra transcript binding (jf's `Option<ext_msg>` hook).
+    CAP_PROVE_TIMING=1 prints a per-stage wall-clock breakdown.
     """
+    import os
+    import time as _time
+
+    timing = os.environ.get("CAP_PROVE_TIMING", "0") == "1"
+    _t = [_time.time()]
+
+    def _mark(label):
+        if timing:
+            import jax as _jax
+
+            now = _time.time()
+            print(f"  [prove] {label}: {(now - _t[0]) * 1e3:.0f} ms", flush=True)
+            _t[0] = now
+
     n = pk.n
     K = _kernels(n)
     srs = pk.srs
@@ -380,7 +395,9 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
     wire_evals = _to_mont_j(wire_plain)
     blinds1 = _mont_many([FR.rand(rng) for _ in range(10)]).reshape(5, 2, NLIMBS)
     wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1)
+    _mark("pack+to_mont")
     wire_comms = commit_batch(srs, wire_plain)
+    _mark("round1 wires+commit")
     transcript.append_points(b"wires", wire_comms)
     beta = transcript.challenge(b"beta")
     gamma = transcript.challenge(b"gamma")
@@ -391,6 +408,7 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
         wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma), blinds_z
     )
     z_comm = commit_batch(srs, z_plain[None])[0]
+    _mark("round2 z+commit")
     transcript.append_point(b"z", z_comm)
     alpha = transcript.challenge(b"alpha")
 
@@ -403,6 +421,7 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
         _mont(alpha), _mont(beta), _mont(gamma),
     )
     t_comms = commit_batch(srs, t_plain)
+    _mark("round3 quotient+commit")
     if not bool(tail_ok):
         # F(X) is not divisible by Z_H — the witness does not satisfy the
         # circuit (device-side replacement for the Python row sweep)
@@ -429,6 +448,7 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
     wire_evs = limbs_to_ints(np.asarray(wire_evs_d), FR)
     sig_evs = limbs_to_ints(np.asarray(sig_evs_d), FR)[:4]
     z_omega_eval = limbs_to_int(np.asarray(z_om_d), FR)
+    _mark("round4 evals")
     transcript.append_scalars(b"evals", wire_evs + sig_evs + [z_omega_eval])
     v = transcript.challenge(b"v")
 
@@ -488,6 +508,7 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
         srs_pad(z_coeffs, m_r), _mont(z_omega_eval), pk.x2n_mont, _mont(zw)
     )
     w_comms = commit_batch(srs, jnp.stack([w_zeta_plain, w_om_plain]))
+    _mark("round5 openings+commit")
     transcript.append_points(b"w", w_comms)
     transcript.challenge(b"u")  # drawn for symmetry with the verifier
 
