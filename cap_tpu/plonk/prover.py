@@ -224,9 +224,19 @@ def _kernels(n: int):
         return chunks, fj.from_mont(chunks), fj.is_zero(tail).all()
 
     @jax.jit
-    def evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta_pows, zeta_om_pows):
-        def ev(c, pows):
-            return fj.field_sum(fj.mont_mul(c, pows[: c.shape[0]]), axis=-2)
+    def evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta_m, zw_m):
+        def pows(s):
+            base = jnp.broadcast_to(s, (n + 3, NLIMBS))
+            inc = lax.associative_scan(
+                lambda a, b: fj.mont_mul(a, b), base, axis=0
+            )  # s^(i+1)
+            return jnp.concatenate([fj.one_mont((1,)), inc[:-1]], axis=0)
+
+        zeta_pows = pows(zeta_m)
+        zeta_om_pows = pows(zw_m)
+
+        def ev(c, pws):
+            return fj.field_sum(fj.mont_mul(c, pws[: c.shape[0]]), axis=-2)
 
         wire_evs = jax.vmap(lambda c: ev(c, zeta_pows))(wire_ext)
         sig_evs = jax.vmap(lambda c: ev(c, zeta_pows))(sigma_coeffs)
@@ -431,19 +441,11 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
     transcript.append_points(b"t", t_comms)
     zeta = transcript.challenge(b"zeta")
 
-    # round 4 — evaluations
-    zeta_pows = [1]
-    for _ in range(n + 2):
-        zeta_pows.append(zeta_pows[-1] * zeta % p)
+    # round 4 — evaluations (zeta power tables built on device)
     omega = pk.domain.omega
     zw = zeta * omega % p
-    zw_pows = [1]
-    for _ in range(n + 2):
-        zw_pows.append(zw_pows[-1] * zw % p)
-    zp = jnp.asarray(ints_to_limbs(zeta_pows, FR))
-    zwp = jnp.asarray(ints_to_limbs(zw_pows, FR))
     wire_evs_d, sig_evs_d, z_om_d = K.evals_phase(
-        wire_ext, pk.sigma_coeffs, z_coeffs, zp, zwp
+        wire_ext, pk.sigma_coeffs, z_coeffs, _mont(zeta), _mont(zw)
     )
     wire_evs = limbs_to_ints(np.asarray(wire_evs_d), FR)
     sig_evs = limbs_to_ints(np.asarray(sig_evs_d), FR)[:4]

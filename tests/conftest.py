@@ -17,6 +17,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("CAP_TPU_RUN_SLOW") != "1":
+    # fast suite: virtual 8-device CPU mesh.  The slow suite (real proofs)
+    # keeps the TPU backend instead.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -69,6 +69,42 @@ def test_all_note_types_prove_verify_and_batch(tpu):
 
 
 @slow
+def test_plonk_cross_wiring_negatives(tpu):
+    """Reference proof-level negative grid (proof/transfer.rs:599-760 twin):
+    wrong vk / wrong public input / swapped proofs / wrong ext_msg all fail."""
+    from cap_tpu.fields.host import FR
+    from cap_tpu.plonk import prover, srs as srs_mod, verifier
+    from cap_tpu.plonk.circuit import PlonkCircuit
+    from cap_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+
+    def build(x, pub):
+        c = PlonkCircuit()
+        vx = c.create_variable(x)
+        vp = c.create_public_variable(pub)
+        c.enforce_equal(c.add_constant(c.mul(vx, vx), 7), vp)
+        return c
+
+    x1, x2 = 5, 11
+    p1, p2 = (x1 * x1 + 7) % FR.p, (x2 * x2 + 7) % FR.p
+    c1, c2 = build(x1, p1), build(x2, p2)
+    srs = srs_mod.universal_setup(c1.eval_domain_size() + 2, rng)
+    pk1, vk1 = prover.preprocess(srs, c1)
+    proof1 = prover.prove(rng, pk1, prover.gather_wires(pk1, c1.witness_values), [p1])
+    proof2 = prover.prove(rng, pk1, prover.gather_wires(pk1, c2.witness_values), [p2])
+    assert verifier.verify(vk1, [p1], proof1)
+    assert verifier.verify(vk1, [p2], proof2)
+    # cross-wiring
+    assert not verifier.verify(vk1, [p2], proof1)
+    assert not verifier.verify(vk1, [p1], proof2)
+    assert not verifier.verify(vk1, [p1], proof1, ext_msg=b"unexpected")
+    # batch: good pair passes, any bad member fails
+    assert verifier.batch_verify([vk1, vk1], [[p1], [p2]], [proof1, proof2])
+    assert not verifier.batch_verify([vk1, vk1], [[p1], [p1]], [proof1, proof2])
+
+
+@slow
 def test_tampered_proof_rejected(tpu):
     import dataclasses
 
