@@ -61,13 +61,16 @@ class FreezeWitness:
             code, AssetPolicy().set_freezer_pub_key(frz.pub_key())
         )
         ins = [fee_ro]
-        wits = [wit0]
         sks = []
+        uids = []
         for _ in range(n_inputs - 1):
             ro = RecordOpening.new(rng, 0, asset, kp.pub_key())
             ins.append(ro)
-            wits.append(AccMemberWitness.dummy(tree_depth))
+            uids.append(tree.push(ro.derive_record_commitment()))
             sks.append(frz.sk)
+        # look paths up after all insertions so every witness shares the root
+        wits = [AccMemberWitness.lookup_from_tree(tree, 0)]
+        wits += [AccMemberWitness.lookup_from_tree(tree, u) for u in uids]
         outs = [RecordOpening.new(rng, 0, AssetDefinition.native(), kp.pub_key())]
         outs += get_output_ros(rng, ins[1:])
         return FreezeWitness(ins, wits, outs, kp.addr_keypair.sk, sks)

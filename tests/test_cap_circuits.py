@@ -220,6 +220,26 @@ class TestTransferCircuit:
         assert c.check_circuit_satisfiability([v % FR.p for v in bad.to_scalars()])
 
 
+class TestCircuitShapes:
+    """Shape generality across the reference bench grid (SURVEY §6)."""
+
+    @pytest.mark.parametrize("shape,domain", [((3, 3), 65536), ((2, 6), 32768)])
+    def test_transfer_shapes_satisfiable(self, shape, domain):
+        c = transfer_proof.dummy_transfer_circuit(shape[0], shape[1], DEPTH)
+        assert c.eval_domain_size() == domain
+        assert c.check_circuit_satisfiability(c.public_input())
+
+    def test_reference_2in6out_gate_parity(self):
+        # reference: 30740 constraints at depth 10 (proof/transfer.rs:602-604)
+        c = transfer_proof.dummy_transfer_circuit(2, 6, 10)
+        assert c.eval_domain_size() == 32768  # same domain as the reference
+        assert abs(c.num_gates() - 30740) < 3000  # within ~10%
+
+    def test_freeze_3in_satisfiable(self):
+        c = freeze_proof.dummy_freeze_circuit(3, DEPTH)
+        assert c.check_circuit_satisfiability(c.public_input())
+
+
 def _freeze_fixture():
     rng = test_rng()
     b = FreezeParamsBuilder(rng, 2, DEPTH)
