@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from cap_tpu.constants import ATTRS_LEN, MAX_TIMESTAMP_LEN, VIEWABLE_DATA_LEN
+from cap_tpu.constants import MAX_TIMESTAMP_LEN, VIEWABLE_DATA_LEN
 from cap_tpu.plonk.circuit import PlonkCircuit
 from cap_tpu.plonk.gadgets import ecc, elgamal, schnorr as schnorr_g
 from cap_tpu.plonk.gadgets.rescue import commitment_gadget

@@ -27,10 +27,8 @@ from __future__ import annotations
 
 from cap_tpu.constants import (
     AMOUNT_LEN,
-    ATTRS_LEN,
     DUMMY_ASSET_CODE,
     NATIVE_ASSET_CODE,
-    VIEWABLE_DATA_LEN,
 )
 from cap_tpu.plonk.circuit import PlonkCircuit
 from cap_tpu.plonk.gadgets import ecc, elgamal

@@ -20,7 +20,6 @@ from cap_tpu.structs import (
     safe_sum_amount,
 )
 from cap_tpu.transfer import TransferNote
-from cap_tpu.fields.host import FR
 
 
 class NoteType(Enum):

@@ -12,10 +12,9 @@ cap_tpu.parallel; this module is the single-chip core it builds on.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from functools import lru_cache
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

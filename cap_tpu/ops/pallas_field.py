@@ -4,13 +4,17 @@ The pure-JAX limb kernels in field_jax.py express each CIOS round as a
 separate XLA op, so the [.., 17] column accumulator round-trips HBM ~200x
 per multiplication — measured ~0.1 G modmul/s, hopelessly bandwidth-bound.
 These kernels keep the whole multiplication (and the whole mixed EC
-addition) inside one Pallas program: limbs are transposed to limb-major
-[16, B] layout in VMEM (elements on the 128-lane axis), every accumulator
-column lives in registers/VMEM, and HBM sees exactly one read of each input
-and one write of each output.
+addition) inside one Pallas program: data is tiled limb-major
+([N/128, 16, 128] so every limb slice is a native (8,128) vreg), every
+accumulator column lives in registers/VMEM, and HBM sees one read of each
+input and one write of each output.
 
-Layouts at the boundary match field_jax ([N, 16] uint32, Montgomery), so
-these are drop-in replacements selected via CAP_PALLAS=1 (default on TPU).
+Measured (one v5e, transfer-synced): kernel-only mont_mul 1.6ms @ 2^18 vs
+2.4ms for the pure-JAX scan path; the fused mixed-EC MSM variant lands at
+90ms vs 64ms (XLA windowed) at 2^15 — both VPU-instruction-bound at ~3000
+uint32 ops per modmul.  These kernels are therefore groundwork: the default
+prover path stays on the XLA kernels until the round-2 MXU limb-multiply
+work changes the op-count economics (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cap_tpu.fields.host import FQ, FR, LIMB_BITS, LIMB_MASK, NLIMBS
+from cap_tpu.fields.host import FQ, LIMB_BITS, LIMB_MASK, NLIMBS
 
 BLK = 1024  # elements per program (lane axis)
 

@@ -16,9 +16,7 @@ from __future__ import annotations
 import os
 import pickle
 
-import numpy as np
-
-from cap_tpu.plonk.srs import UniversalSrs, load_srs, store_srs, universal_setup_for_staging
+from cap_tpu.plonk.srs import UniversalSrs, universal_setup_for_staging
 from cap_tpu.proof import freeze as freeze_proof, mint as mint_proof, transfer as transfer_proof
 
 

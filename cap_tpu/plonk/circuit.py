@@ -22,7 +22,7 @@ circuit from a dummy witness (reference src/proof/transfer.rs:124-155).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 from cap_tpu.fields.host import FR, PrimeField
 

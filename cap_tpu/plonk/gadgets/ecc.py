@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from cap_tpu.crypto.jubjub import COEFF_A, COEFF_D, NEUTRAL, TEPoint
+from cap_tpu.crypto.jubjub import COEFF_A, COEFF_D, TEPoint
 from cap_tpu.plonk.circuit import PlonkCircuit
 
 

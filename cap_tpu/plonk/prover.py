@@ -14,7 +14,7 @@ the big coset tables on device.  Montgomery limb layout throughout.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 from types import SimpleNamespace
 
 import jax
@@ -26,7 +26,6 @@ from cap_tpu.fields.host import FR, NLIMBS
 from cap_tpu.ops import field_jax as fj
 from cap_tpu.ops.limbs import ints_to_limbs, limbs_to_int, limbs_to_ints
 from cap_tpu.ops.ntt import coset_intt, coset_ntt, get_domain, intt, ntt
-from cap_tpu.ops import ec
 from cap_tpu.plonk import srs as srs_mod
 from cap_tpu.plonk.circuit import SELECTORS, PlonkCircuit
 from cap_tpu.plonk.structs import PlonkProof, ProvingKey, VerifyingKey
@@ -382,8 +381,6 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
 
     def _mark(label):
         if timing:
-            import jax as _jax
-
             now = _time.time()
             print(f"  [prove] {label}: {(now - _t[0]) * 1e3:.0f} ms", flush=True)
             _t[0] = now

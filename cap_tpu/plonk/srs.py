@@ -15,7 +15,6 @@ fixed-base batched double-and-add kernel (cap_tpu.ops.msm) — generating a
 
 from __future__ import annotations
 
-import hashlib
 import os
 from dataclasses import dataclass
 

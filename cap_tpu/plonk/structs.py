@@ -8,10 +8,10 @@ host-side.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from cap_tpu.crypto.keccak import keccak256
-from cap_tpu.fields.host import FQ, FR
+from cap_tpu.fields.host import FR
 
 
 @dataclass

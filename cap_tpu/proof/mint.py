@@ -12,7 +12,7 @@ from dataclasses import dataclass
 from cap_tpu.circuits.mint import build_mint_circuit
 from cap_tpu.crypto import jubjub
 from cap_tpu.crypto.merkle import AccMemberWitness, MerkleTree
-from cap_tpu.errors import FailedConstraintSystemError, FailedSnarkError
+from cap_tpu.errors import FailedConstraintSystemError
 from cap_tpu.fields.host import FR
 from cap_tpu.plonk import prover as plonk_prover, verifier as plonk_verifier
 from cap_tpu.plonk.structs import PlonkProof

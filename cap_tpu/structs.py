@@ -21,7 +21,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field, replace
 
 from cap_tpu.constants import (
-    AMOUNT_LEN,
     AMOUNT_MAX,
     ATTRS_LEN,
     DOM_SEP_DOMESTIC_ASSET,

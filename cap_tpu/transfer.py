@@ -22,7 +22,6 @@ from cap_tpu.structs import (
     safe_sum_amount,
 )
 from cap_tpu.utils import validation
-from cap_tpu.utils.rng import CapRng
 
 
 @dataclass(frozen=True)

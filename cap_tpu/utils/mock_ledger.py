@@ -10,7 +10,7 @@ a network" answer, reused by the integration tests and benchmarks.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
 from cap_tpu.crypto.merkle import AccMemberWitness, MerkleTree
 from cap_tpu.errors import FailedTransactionVerificationError, TxnApiError

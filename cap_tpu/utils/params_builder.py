@@ -8,9 +8,9 @@ tests (amounts, policies, credentials, thresholds).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 
-from cap_tpu.constants import ATTRS_LEN, MAX_TIMESTAMP_LEN
+from cap_tpu.constants import ATTRS_LEN
 from cap_tpu.crypto.merkle import AccMemberWitness, MerkleTree
 from cap_tpu.freeze import FreezeNote, FreezeNoteInput
 from cap_tpu.keys import (

@@ -7,7 +7,7 @@ from __future__ import annotations
 from cap_tpu.constants import DUMMY_ASSET_CODE
 from cap_tpu.crypto.merkle import check_merkle_proof
 from cap_tpu.errors import InvalidParameterError
-from cap_tpu.structs import FeeInput, RecordOpening, UNFROZEN, check_amount
+from cap_tpu.structs import FeeInput, UNFROZEN, check_amount
 
 
 def check_distinct_input_nullifiers(nullifiers) -> None:
