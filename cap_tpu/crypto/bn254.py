@@ -517,8 +517,62 @@ def miller_loop(q, p) -> Fq12:
 
 _FINAL_EXP = (P**12 - 1) // FR.p
 
+# Frobenius on Fq12: f^(p^e) = sum_k c_k * (w^(p^e))^k (coefficients are in
+# Fq, so they are Frobenius-fixed).  Precompute the (w^(p^e))^k tables.
+_FROB_TABLES: dict = {}
+
+
+def _frob_table(e: int):
+    tab = _FROB_TABLES.get(e)
+    if tab is None:
+        we = _W.pow(pow(P, e))
+        tab = [Fq12.one()]
+        for _ in range(11):
+            tab.append(tab[-1] * we)
+        _FROB_TABLES[e] = tab
+    return tab
+
+
+def fq12_frobenius(f: Fq12, e: int) -> Fq12:
+    tab = _frob_table(e)
+    acc = Fq12.zero()
+    for k in range(12):
+        if f.c[k]:
+            acc = acc + tab[k] * f.c[k]
+    return acc
+
 
 def final_exponentiate(f: Fq12) -> Fq12:
+    """Fast final exponentiation: easy part + Scott et al. BN hard part.
+
+    Self-checked against the naive f^((p^12-1)/r) in tests; the cyclotomic
+    inverse after the easy part is the p^6-Frobenius (conjugation)."""
+    # easy part: f^((p^6-1)(p^2+1))
+    m = fq12_frobenius(f, 6) * f.inv()
+    m = fq12_frobenius(m, 2) * m
+    conj = lambda g: fq12_frobenius(g, 6)  # = g^{-1} in the cyclotomic subgroup
+    # hard part (exponent (p^4 - p^2 + 1)/r), vectorial addition chain
+    fx = m.pow(BN_X)
+    fx2 = fx.pow(BN_X)
+    fx3 = fx2.pow(BN_X)
+    y0 = fq12_frobenius(m, 1) * fq12_frobenius(m, 2) * fq12_frobenius(m, 3)
+    y1 = conj(m)
+    y2 = fq12_frobenius(fx2, 2)
+    y3 = conj(fq12_frobenius(fx, 1))
+    y4 = conj(fx * fq12_frobenius(fx2, 1))
+    y5 = conj(fx2)
+    y6 = conj(fx3 * fq12_frobenius(fx3, 1))
+    t0 = y6.sq() * y4 * y5
+    t1 = y3 * y5 * t0
+    t0 = t0 * y2
+    t1 = (t1.sq() * t0).sq()
+    t0 = t1 * y1
+    t1 = t1 * y0
+    t0 = t0.sq()
+    return t0 * t1
+
+
+def final_exponentiate_naive(f: Fq12) -> Fq12:
     return f.pow(_FINAL_EXP)
 
 

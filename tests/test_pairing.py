@@ -70,6 +70,15 @@ def test_pairing_check_kzg_shape():
     assert not bad
 
 
+def test_fast_final_exponentiation_matches_naive():
+    from cap_tpu.crypto.bn254 import final_exponentiate, final_exponentiate_naive
+
+    rng = test_rng()
+    for _ in range(2):
+        f = Fq12([FR.rand(rng) for _ in range(12)])
+        assert final_exponentiate(f) == final_exponentiate_naive(f)
+
+
 def test_fq12_field_ops():
     rng = test_rng()
     x = Fq12([FR.rand(rng) % 1000 for _ in range(12)])
