@@ -174,11 +174,54 @@ def bench_msm(reps: int):
     }
 
 
+def bench_batch_verify(reps: int):
+    """Mixed-type batch verification (benches/batch_verification.rs twin)."""
+    from cap_tpu.lib import TransactionNote, txn_batch_verify
+    from cap_tpu.proof import (
+        freeze as fproof, mint as mproof, transfer as tproof,
+        universal_setup_for_staging,
+    )
+    from cap_tpu.utils.params_builder import (
+        FreezeParamsBuilder, MintParamsBuilder, TransferParamsBuilder,
+    )
+    from cap_tpu.utils.rng import test_rng
+
+    rng = test_rng()
+    depth = 6
+    srs = universal_setup_for_staging(2**15 + 2, "data")
+    notes, roots, vks = [], [], []
+    mpk, mvk = mproof.preprocess(srs, depth)
+    mb = MintParamsBuilder(rng, depth)
+    n, *_ = mb.build_mint_note(mpk)
+    notes.append(TransactionNote.mint(n)); roots.append(mb.tree.root); vks.append(mvk)
+    tpk, tvk = tproof.preprocess(srs, 2, 2, depth)
+    tb = TransferParamsBuilder(rng, 2, 2, depth)
+    n, *_ = tb.build_transfer_note(tpk)
+    notes.append(TransactionNote.transfer(n)); roots.append(tb.tree.root); vks.append(tvk)
+    fpk, fvk = fproof.preprocess(srs, 2, depth)
+    fb = FreezeParamsBuilder(rng, 2, depth)
+    n, *_ = fb.build_freeze_note(fpk)
+    notes.append(TransactionNote.freeze(n)); roots.append(fb.tree.root); vks.append(fvk)
+    txn_batch_verify(notes, roots, 5, vks)  # warm
+    t0 = time.time()
+    for _ in range(reps):
+        txn_batch_verify(notes, roots, 5, vks)
+    per = (time.time() - t0) / reps
+    return {
+        "metric": "mixed_batch_verify_3notes_seconds",
+        "value": round(per, 3),
+        "unit": "seconds",
+        "vs_baseline": round(0.03 / (per / 3), 3),  # vs ~30ms/note CPU batch
+    }
+
+
 def main():
     kind = os.environ.get("CAP_BENCH", "transfer")
     reps = int(os.environ.get("CAP_BENCH_REPS", "3"))
     if kind in ("transfer", "mint", "freeze"):
         result = bench_note(kind, reps)
+    elif kind == "batch_verify":
+        result = bench_batch_verify(reps)
     elif kind == "field":
         result = bench_field(reps)
     elif kind == "ntt":

@@ -244,6 +244,29 @@ def test_block_intra_double_spend_rejected():
         validator.validate_and_apply_block(rng, [n1, n2], user.pub_key())
 
 
+def test_batch_verify_arg_mismatch_rejected():
+    """Reference lib.rs:732-819 twin: mismatched arg lengths raise."""
+    from cap_tpu.errors import InvalidParameterError
+    from cap_tpu.lib import txn_batch_verify
+
+    rng, keys, ledger, validator = _setup_world()
+    user = UserKeyPair.generate(rng)
+    fee_ro = RecordOpening.new(rng, 30, AssetDefinition.native(), user.pub_key())
+    uid = ledger.insert_record(RecordCommitment.from_ro(fee_ro))
+    fi = FeeInput(fee_ro, AccMemberWitness.lookup_from_tree(ledger.tree, uid), user)
+    info, _ = TxnFeeInfo.new(rng, fi, 1)
+    issuer = AssetIssuerMock(rng, b"z", AssetPolicy())
+    ro = RecordOpening.new(rng, 5, issuer.asset_def, user.pub_key())
+    note, _ = MintNote.generate(rng, ro, issuer.seed, issuer.description, info, keys.mint_pk)
+    tn = TransactionNote.mint(note)
+    with pytest.raises(InvalidParameterError):
+        txn_batch_verify([tn], [note.merkle_root(), 0], 5, [keys.mint_vk])
+    with pytest.raises(InvalidParameterError):
+        txn_batch_verify([tn], [note.merkle_root()], 5, [])
+    # empty batch is trivially fine
+    txn_batch_verify([], [], 5, [])
+
+
 def test_unknown_root_rejected():
     rng, keys, ledger, validator = _setup_world()
     user = UserKeyPair.generate(rng)
