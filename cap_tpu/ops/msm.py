@@ -260,8 +260,10 @@ def msm_windowed_device(table, scalars):
 
 def msm_windowed_device_pallas(table, scalars):
     """Windowed MSM with the fused Pallas mixed-add kernel: the accumulator
-    stays in limb-major tiled layout across all chunk steps; only the
-    gathered table rows are converted per step (cheap)."""
+    stays in limb-major tiled layout (redundant [0,2p) coords) across all
+    chunk steps AND through the lane-fold tree; only the gathered table rows
+    are converted per step (cheap), and coordinates are normalized once at
+    the end."""
     from cap_tpu.ops import pallas_field as pfl
 
     tx, ty = table
@@ -280,17 +282,32 @@ def msm_windowed_device_pallas(table, scalars):
         dg = lax.dynamic_slice_in_dim(digits, k * WCHUNK, WCHUNK, axis=0)  # [C,32]
         dgt = jnp.transpose(dg)                                            # [32,C]
         idx = dgt[:, :, None]
-        gx = jnp.take_along_axis(txc, idx, axis=0).reshape(nlanes, NLIMBS)
-        gy = jnp.take_along_axis(tyc, idx, axis=0).reshape(nlanes, NLIMBS)
+        gx = jnp.take_along_axis(txc, idx, axis=0).astype(jnp.uint32).reshape(nlanes, NLIMBS)
+        gy = jnp.take_along_axis(tyc, idx, axis=0).astype(jnp.uint32).reshape(nlanes, NLIMBS)
         mask3 = (dgt != 0).astype(jnp.uint32).reshape(-1, 1, 128)
         g_t = (pfl.to_limb_major(gx), pfl.to_limb_major(gy))
         return pfl.ec_add_mixed_pallas_tiled(acc_t, g_t, mask3)
 
     acc_t = lax.fori_loop(0, nchunks, chunk_body, acc_t)
-    accs = tuple(
-        pfl.from_limb_major(c).reshape(NUM_WINDOWS, WCHUNK, NLIMBS) for c in acc_t
-    )
+
+    # fold the WCHUNK lanes per window with a Pallas halving tree while the
+    # lane count stays tile-aligned, then normalize and finish on the XLA path
     width = WCHUNK
+    while width > 128:  # below 128 the per-window lane axis no longer tiles
+        half = width // 2
+        lo, hi = [], []
+        for c in acc_t:
+            c4 = c.reshape(NUM_WINDOWS, width // 128, NLIMBS, 128)
+            # split each window's lane axis in half (lane axis is tiled 128)
+            lo.append(c4[:, : half // 128].reshape(-1, NLIMBS, 128))
+            hi.append(c4[:, half // 128 :].reshape(-1, NLIMBS, 128))
+        acc_t = pfl.ec_add_pallas_tiled(tuple(lo), tuple(hi))
+        width = half
+
+    accs = tuple(
+        pfl.from_limb_major(pfl.normalize_tiled(c)).reshape(NUM_WINDOWS, width, NLIMBS)
+        for c in acc_t
+    )
     acc = accs
     while width > 1:
         half = width // 2

@@ -1,0 +1,266 @@
+"""Signed-window fixed-base MSM — the prover's KZG-commit engine (v3).
+
+Replaces the round-1 unsigned c=8 windowed MSM (`msm.py`) for SRS commits:
+
+  * **signed 10-bit digits** (balanced representation): 26 windows instead
+    of 32 (-19% point adds), and the digit table only stores |d| ∈ [0, 512]
+    — negation is a cheap in-kernel `2p - y`;
+  * **fused uint16 table** `[513, m, 32]` (x‖y limbs): half the HBM of the
+    round-1 uint32 layout and one gather per chunk step instead of two —
+    2^17 points fit in ~2.2 GB (the full Aztec-CRS ceiling,
+    reference `src/proof/mod.rs:83-101`);
+  * **whole-MSM-on-device**: digit extraction, chunked Pallas mixed adds,
+    lane-fold tree, cross-window Horner (10 doublings/window) and the final
+    z-normalization all run in ONE jitted device program per *batch* of
+    polynomials — the host receives only [k, 3, 16] projective points
+    (~100 bytes/commit).  On this runtime a host↔device round trip costs
+    ~29 ms, so the round-1 flow (transfer 32 window points per poly + host
+    Horner) paid more in latency than in compute.
+
+Sharded variant (point axis over a mesh) lives in cap_tpu.parallel.
+Reference role: arkworks Pippenger inside jf-plonk (SURVEY.md §2.2 L1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cap_tpu.fields.host import FQ, FR, LIMB_BITS, NLIMBS
+from cap_tpu.ops import ec, field_jax as fj, pallas_field as pfl
+from cap_tpu.ops import limb_kernels as lk
+
+WINDOW_BITS = 10
+NUM_WINDOWS = 26            # ceil(254 / 10)
+HALF = 1 << (WINDOW_BITS - 1)          # 512
+TABLE_ROWS = HALF + 1                  # |d| in [0, 512]
+WCHUNK = 2048               # points per accumulation step
+
+
+def signed_digits_device(scalars):
+    """[n,16] plain-limb scalars -> (absd, neg) both [n, 26] int32/bool.
+
+    Balanced base-1024 digits: s = sum_w d_w * 1024^w with d_w in
+    [-512, 512].  Works on uint32 limb arrays; fully vectorized.
+    """
+    n = scalars.shape[0]
+    limbs = jnp.concatenate(
+        [scalars, jnp.zeros((n, 1), jnp.uint32)], axis=1
+    )  # [n, 17]
+    digs = []
+    for w in range(NUM_WINDOWS):
+        bit = WINDOW_BITS * w
+        li, sh = bit // LIMB_BITS, bit % LIMB_BITS
+        raw = (limbs[:, li] >> sh) | (limbs[:, li + 1] << (LIMB_BITS - sh))
+        digs.append((raw & jnp.uint32(1023)).astype(jnp.int32))
+    d = jnp.stack(digs, axis=1)  # [n, 26] in [0, 1023]
+
+    def step(carry, dw):
+        v = dw + carry
+        wrap = v > HALF
+        out = jnp.where(wrap, v - (1 << WINDOW_BITS), v)
+        return wrap.astype(jnp.int32), out
+
+    carry, out = lax.scan(step, jnp.zeros((n,), jnp.int32), jnp.moveaxis(d, 1, 0))
+    d = jnp.moveaxis(out, 0, 1)  # [n, 26] in [-512, 512]; top carry is 0 (<2^254)
+    return jnp.abs(d), d < 0
+
+
+def _batch_inverse(x, ctx):
+    """Montgomery batched inversion of [m,16] (prefix-product trick)."""
+    pref = lax.associative_scan(lambda a, b: fj.mont_mul(a, b, ctx), x, axis=0)
+    total_inv = fj.inv(pref[-1:], ctx)
+
+    # suffix pass: inv_i = prefix_{i-1} * suffix_inv_i, computed by a reverse scan
+    rev = jnp.flip(x, axis=0)
+    # suffix products of elements AFTER i: scan over reversed
+    sufpref = lax.associative_scan(lambda a, b: fj.mont_mul(a, b, ctx), rev, axis=0)
+    suf = jnp.flip(
+        jnp.concatenate([fj.one_mont((1,), ctx), sufpref[:-1]], axis=0), axis=0
+    )  # prod of x[i+1:]
+    prev = jnp.concatenate([fj.one_mont((1,), ctx), pref[:-1]], axis=0)  # prod x[:i]
+    return fj.mont_mul(fj.mont_mul(prev, suf, ctx), total_inv, ctx)
+
+
+def build_signed_table(px, py, m: int) -> jnp.ndarray:
+    """Precompute d*P_i for d in [0, 512]: [513, mp, 32] uint16 (x‖y limbs,
+    Montgomery affine).  Row 0 duplicates the base (masked out at use).
+
+    px, py: [m, 16] canonical Montgomery affine coords of the SRS points.
+    """
+    mp = ((m + WCHUNK - 1) // WCHUNK) * WCHUNK
+    pad = mp - m
+    if pad:
+        one = jnp.broadcast_to(fj.one_mont((), fj.FQ_CTX), (pad, NLIMBS))
+        px = jnp.concatenate([px, jnp.zeros((pad, NLIMBS), jnp.uint32)])
+        py = jnp.concatenate([py, one])
+
+    @jax.jit
+    def _build_block(px, py):
+        cblk = px.shape[0]
+        ones_m = jnp.ones((cblk // 128, 1, 128), jnp.uint32)
+        g_t = (pfl.to_limb_major(px), pfl.to_limb_major(py))
+
+        def step(acc_t, _):
+            nxt = pfl.ec_add_mixed_pallas_tiled(acc_t, g_t, ones_m)
+            return nxt, nxt
+
+        one = fj.one_mont((cblk,), fj.FQ_CTX)
+        init = (g_t[0], pfl.to_limb_major(py), pfl.to_limb_major(one))
+        _, (txs, tys, tzs) = lax.scan(step, init, None, length=HALF - 1)
+        # scan outputs are tiled [511, C/128, 16, 128] -> [511, C, 16]
+        sx = jax.vmap(pfl.from_limb_major)(txs)
+        sy = jax.vmap(pfl.from_limb_major)(tys)
+        sz = jax.vmap(pfl.from_limb_major)(tzs)
+        allx = jnp.concatenate([px[None], sx], axis=0)   # [512, C, 16] (d=1..512)
+        ally = jnp.concatenate([py[None], sy], axis=0)
+        onez = fj.one_mont((1, cblk), fj.FQ_CTX)
+        allz = jnp.concatenate([onez, sz], axis=0)
+        # normalize redundant coords then batch-invert z over the flattened rows
+        norm = lambda a: jax.vmap(
+            lambda t: pfl.from_limb_major(pfl.normalize_tiled(pfl.to_limb_major(t)))
+        )(a)
+        allx, ally, allz = norm(allx), norm(ally), norm(allz)
+        flat_z = allz.reshape(-1, NLIMBS)
+        # guard: padded lanes carry a fake (0,1) base whose chain may hit
+        # z == 0, which would zero the whole prefix product — swap in 1
+        zero_z = fj.is_zero(flat_z)
+        flat_z = fj.select(~zero_z, flat_z, fj.one_mont((flat_z.shape[0],), fj.FQ_CTX))
+        zinv = _batch_inverse(flat_z, fj.FQ_CTX).reshape(allz.shape)
+        ax = fj.mont_mul(allx, zinv, fj.FQ_CTX)
+        ay = fj.mont_mul(ally, zinv, fj.FQ_CTX)
+        # prepend the d=0 row (= base point, masked at gather time)
+        ax = jnp.concatenate([px[None], ax], axis=0)     # [513, C, 16]
+        ay = jnp.concatenate([py[None], ay], axis=0)
+        fused = jnp.concatenate([ax, ay], axis=-1)       # [513, C, 32]
+        return fused.astype(jnp.uint16)
+
+    blocks = []
+    for k in range(mp // WCHUNK):
+        blocks.append(
+            _build_block(px[k * WCHUNK:(k + 1) * WCHUNK], py[k * WCHUNK:(k + 1) * WCHUNK])
+        )
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _ec_double_dev(p):
+    return ec.ec_add(p, p)
+
+
+def msm_signed_batch_device(table, scalars_batch):
+    """Batched fixed-base MSM, entirely on device.
+
+    table: [513, mp, 32] uint16 from build_signed_table.
+    scalars_batch: [k, mp, 16] plain-limb scalars (pad with zeros).
+    Returns [k, 3, 16]: projective (canonical) commitment per polynomial.
+    """
+    tab = table
+    mp = tab.shape[1]
+    k, n, _ = scalars_batch.shape
+    assert n == mp, (n, mp)
+    nchunks = mp // WCHUNK
+    kw = k * NUM_WINDOWS
+    nlanes = kw * WCHUNK
+
+    absd, neg = jax.vmap(signed_digits_device)(scalars_batch)  # [k, mp, 26]
+    absd = jnp.moveaxis(absd, 2, 1).reshape(kw, mp)            # [k*26, mp]
+    neg = jnp.moveaxis(neg, 2, 1).reshape(kw, mp)
+
+    ident = ec.identity((nlanes,))
+    acc_t = tuple(pfl.to_limb_major(c) for c in ident)
+
+    def chunk_body(c, acc_t):
+        dg = lax.dynamic_slice_in_dim(absd, c * WCHUNK, WCHUNK, axis=1)   # [kw, C]
+        ng = lax.dynamic_slice_in_dim(neg, c * WCHUNK, WCHUNK, axis=1)    # [kw, C]
+        rows = lax.dynamic_slice_in_dim(tab, c * WCHUNK, WCHUNK, axis=1)  # [513, C, 32]
+        # gather: out[w, c, :] = rows[dg[w, c], c, :]
+        gathered = jnp.take_along_axis(
+            rows[:, None, :, :], dg[None, :, :, None], axis=0
+        )[0]                                                               # [kw, C, 32]
+        g32 = gathered.astype(jnp.uint32).reshape(nlanes, 32)
+        gx = g32[:, :NLIMBS]
+        gy = g32[:, NLIMBS:]
+        mask3 = (dg != 0).astype(jnp.uint32).reshape(-1, 1, 128)
+        negm = ng.reshape(-1, 1, 128).astype(jnp.uint32)
+        g_t = (pfl.to_limb_major(gx), pfl.to_limb_major(gy))
+        return pfl.ec_add_mixed_signed_pallas_tiled(acc_t, g_t, mask3, negm)
+
+    acc_t = lax.fori_loop(0, nchunks, chunk_body, acc_t)
+
+    # lane-fold tree (Pallas while tile-aligned, then XLA)
+    width = WCHUNK
+    while width > 128:
+        half = width // 2
+        lo, hi = [], []
+        for c in acc_t:
+            c4 = c.reshape(kw, width // 128, NLIMBS, 128)
+            lo.append(c4[:, : half // 128].reshape(-1, NLIMBS, 128))
+            hi.append(c4[:, half // 128:].reshape(-1, NLIMBS, 128))
+        acc_t = pfl.ec_add_pallas_tiled(tuple(lo), tuple(hi))
+        width = half
+
+    accs = tuple(
+        pfl.from_limb_major(pfl.normalize_tiled(c)).reshape(kw, width, NLIMBS)
+        for c in acc_t
+    )
+    acc = accs
+    while width > 1:
+        half = width // 2
+        lo = tuple(c[:, :half] for c in acc)
+        hi = tuple(c[:, half:width] for c in acc)
+        acc = ec.ec_add(lo, hi)
+        width = half
+    t_win = tuple(c.reshape(k, NUM_WINDOWS, NLIMBS) for c in acc)  # [k, 26, 16]
+
+    # cross-window Horner on device: acc = 1024*acc + T_w, MSB-first
+    def horner_step(acc, w):
+        widx = NUM_WINDOWS - 1 - w
+        tw = tuple(lax.dynamic_index_in_dim(c, widx, axis=1, keepdims=False)
+                   for c in t_win)  # [k, 16] each
+
+        def dbl(i, a):
+            return _ec_double_dev(a)
+
+        acc = lax.fori_loop(0, WINDOW_BITS, dbl, acc)
+        return ec.ec_add(acc, tw), None
+
+    init = ec.identity((k,))
+    # first window (MSB) without pre-doubling
+    top = tuple(lax.dynamic_index_in_dim(c, NUM_WINDOWS - 1, axis=1, keepdims=False)
+                for c in t_win)
+    acc0 = ec.ec_add(init, top)
+    acc_fin, _ = lax.scan(
+        lambda a, w: horner_step(a, w + 1), acc0, jnp.arange(NUM_WINDOWS - 1)
+    )
+    return jnp.stack(acc_fin, axis=1)  # [k, 3, 16]
+
+
+def points_from_batch_result(res) -> list:
+    """[k, 3, 16] device result -> k host affine points (or None)."""
+    from cap_tpu.ops.limbs import limbs_to_ints
+
+    arr = np.asarray(res)
+    k = arr.shape[0]
+    xs = limbs_to_ints(arr[:, 0], FQ)
+    ys = limbs_to_ints(arr[:, 1], FQ)
+    zs = limbs_to_ints(arr[:, 2], FQ)
+    out = []
+    for i in range(k):
+        if zs[i] == 0:
+            out.append(None)
+            continue
+        zi = pow(zs[i], -1, FQ.p)
+        out.append((xs[i] * zi % FQ.p, ys[i] * zi % FQ.p))
+    return out
+
+
+def msm_signed_host_check(table, scalars_host):
+    """Host-side result for tests: full MSM via the device path."""
+    from cap_tpu.ops.msm import scalars_to_device
+
+    mp = table.shape[1]
+    sc = list(scalars_host) + [0] * (mp - len(scalars_host))
+    dev = msm_signed_batch_device(table, scalars_to_device(sc)[None])
+    return points_from_batch_result(dev)[0]

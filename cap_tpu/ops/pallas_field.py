@@ -1,24 +1,25 @@
-"""Pallas TPU kernels for the field/EC hot path.
+"""Pallas TPU kernels for the field/EC hot path (round-2 flat kernels).
 
-The pure-JAX limb kernels in field_jax.py express each CIOS round as a
-separate XLA op, so the [.., 17] column accumulator round-trips HBM ~200x
-per multiplication — measured ~0.1 G modmul/s, hopelessly bandwidth-bound.
-These kernels keep the whole multiplication (and the whole mixed EC
-addition) inside one Pallas program: data is tiled limb-major
-([N/128, 16, 128] so every limb slice is a native (8,128) vreg), every
-accumulator column lives in registers/VMEM, and HBM sees one read of each
-input and one write of each output.
+Design (see BASELINE.md round-2 levers and SURVEY.md §2.3):
 
-Measured (one v5e, transfer-synced): kernel-only mont_mul 1.6ms @ 2^18 vs
-2.4ms for the pure-JAX scan path; the fused mixed-EC MSM variant lands at
-90ms vs 64ms (XLA windowed) at 2^15 — both VPU-instruction-bound at ~3000
-uint32 ops per modmul.  These kernels are therefore groundwork: the default
-prover path stays on the XLA kernels until the round-2 MXU limb-multiply
-work changes the op-count economics (see BASELINE.md).
+  * data is tiled **limb-major** ([N/128, 16, 128]) so every limb slice is a
+    native (8,128) vreg and the whole computation stays in registers/VMEM —
+    HBM sees one read per input and one write per output;
+  * arithmetic is the flat, fully-unrolled limb code from
+    `cap_tpu.ops.limb_kernels` (shared with the XLA path) in **redundant
+    [0, 2p) form**: no per-op conditional subtraction, and the EC constant
+    3b = 9 is an addition chain instead of a full multiplication — ~1.35x
+    fewer VPU ops per mixed point add than round 1;
+  * kernels are small and shape-stable so Mosaic compiles are cached and
+    the MSM chunk loop reuses one program.
+
+Replaces the role of arkworks' x86 asm field arithmetic (reference
+`scripts/run_benchmarks.sh:95-97`).
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -26,79 +27,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cap_tpu.fields.host import FQ, LIMB_BITS, LIMB_MASK, NLIMBS
+from cap_tpu.fields.host import FQ, NLIMBS
+from cap_tpu.ops import limb_kernels as lk
 
-BLK = 1024  # elements per program (lane axis)
-
-
-def _mm_body(x, y, p_limbs, n0):
-    """One Montgomery product on limb-major lists: x, y = lists of 16 [B]
-    uint32 vectors -> list of 16 [B] vectors.  Fully unrolled CIOS."""
-    t = [jnp.zeros_like(x[0]) for _ in range(NLIMBS + 1)]
-    for i in range(NLIMBS):
-        xi = x[i]
-        for j in range(NLIMBS):
-            prod = xi * y[j]
-            t[j] = t[j] + (prod & LIMB_MASK)
-            t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
-        m = ((t[0] & LIMB_MASK) * n0) & LIMB_MASK
-        for j in range(NLIMBS):
-            pm = m * p_limbs[j]
-            t[j] = t[j] + (pm & LIMB_MASK)
-            t[j + 1] = t[j + 1] + (pm >> LIMB_BITS)
-        carry0 = t[0] >> LIMB_BITS
-        t = t[1:] + [jnp.zeros_like(t[0])]
-        t[0] = t[0] + carry0
-    # carry-propagate 17 columns; value < 2p < 2^255 so the top vanishes
-    cols = []
-    c = jnp.zeros_like(t[0])
-    for j in range(NLIMBS + 1):
-        v = t[j] + c
-        cols.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    return _cond_sub_p(cols[:NLIMBS], p_limbs)
+BLK = 1024   # elements per program (lane axis)
+GRP = 8      # sublane groups per block; a limb slice is a native (8,128) vreg
 
 
-def _cond_sub_p(cols, p_limbs):
-    out = []
-    borrow = jnp.zeros_like(cols[0])
-    for j in range(NLIMBS):
-        d = cols[j] + jnp.uint32(1 << LIMB_BITS) - p_limbs[j] - borrow
-        out.append(d & LIMB_MASK)
-        borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-    keep = borrow == 1  # borrow -> value < p -> keep original
-    return [jnp.where(keep, a, b) for a, b in zip(cols, out)]
+def use_pallas() -> bool:
+    """CAP_PALLAS=0 swaps every tiled kernel for an XLA-flat equivalent
+    (same limb_kernels code, no Mosaic) — used by the CPU test suite and
+    the virtual multichip dryrun where the TPU Pallas backend is absent."""
+    return os.environ.get("CAP_PALLAS", "1") == "1" and jax.default_backend() == "tpu"
 
 
-def _add_body(a, b, p_limbs):
-    cols = []
-    c = jnp.zeros_like(a[0])
-    for j in range(NLIMBS):
-        v = a[j] + b[j] + c
-        cols.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    return _cond_sub_p(cols, p_limbs)
+def _load_x(arr):
+    """Tiled [M, 16, 128] -> list of 16 [M, 128] slices (XLA fallback)."""
+    return [arr[:, j, :] for j in range(NLIMBS)]
 
 
-def _sub_body(a, b, p_limbs):
-    # (a + p) - b, then conditional subtract
-    ap = []
-    c = jnp.zeros_like(a[0])
-    for j in range(NLIMBS):
-        v = a[j] + p_limbs[j] + c
-        ap.append(v & LIMB_MASK)
-        c = v >> LIMB_BITS
-    # c can be 1 (a+p can exceed 16 limbs only if >= 2^256; it's < 2^255) == 0
-    out = []
-    borrow = jnp.zeros_like(a[0])
-    for j in range(NLIMBS):
-        d = ap[j] + jnp.uint32(1 << LIMB_BITS) - b[j] - borrow
-        out.append(d & LIMB_MASK)
-        borrow = jnp.uint32(1) - (d >> LIMB_BITS)
-    return _cond_sub_p(out, p_limbs)
-
-
-GRP = 8  # sublane groups per block; a limb slice is a native (8,128) vreg
+def _stack_x(cols):
+    return jnp.stack(cols, axis=1)
 
 
 def to_limb_major(x):
@@ -120,10 +69,9 @@ def _store_t(ref, cols):
         ref[:, j, :] = cols[j]
 
 
-def _field_consts(ctx):
-    p_limbs = [jnp.uint32(int(v)) for v in ctx.p_np]
-    n0 = jnp.uint32(ctx.n0_inv)
-    return p_limbs, n0
+def _fc(ctx):
+    """Static field constants tuple for limb_kernels, from a FieldCtx."""
+    return lk.field_consts(ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -131,26 +79,32 @@ def _field_consts(ctx):
 # ---------------------------------------------------------------------------
 
 
-def _mont_mul_kernel(x_ref, y_ref, o_ref, *, p_np, n0_const):
-    p_limbs = [jnp.uint32(int(v)) for v in p_np]
-    n0 = jnp.uint32(n0_const)
+def _ctx_by_name(ctx_name):
+    from cap_tpu.ops import field_jax as fj
+
+    by_name = {fj.FR_CTX.name: fj.FR_CTX, fj.FQ_CTX.name: fj.FQ_CTX}
+    return by_name[ctx_name]
+
+
+def _mont_mul_kernel(x_ref, y_ref, o_ref, *, ctx_name):
+    p_limbs, _, n0 = _fc(_ctx_by_name(ctx_name))
     x = _load_t(x_ref)
     y = _load_t(y_ref)
-    _store_t(o_ref, _mm_body(x, y, p_limbs, n0))
+    _store_t(o_ref, lk.mont_mul_full(x, y, p_limbs, n0))
 
 
 def mont_mul_pallas(x, y, ctx=None):
-    """Drop-in pallas mont_mul for [N, 16] uint32 arrays (N % BLK == 0).
-
-    Transposes to limb-major [16, N] around the kernel so elements ride the
-    128-lane axis (the [N,16] layout would put limbs on lanes — 8x waste and
-    strided column reads that spill)."""
+    """Drop-in pallas mont_mul for [N, 16] uint32 arrays (N % BLK == 0)."""
     from cap_tpu.ops import field_jax as fj
 
     ctx = ctx or fj.FR_CTX
     n = x.shape[0]
     assert n % BLK == 0 and x.shape == y.shape
-    kernel = partial(_mont_mul_kernel, p_np=tuple(ctx.p_np), n0_const=ctx.n0_inv)
+    if not use_pallas():
+        from cap_tpu.ops import field_jax as fj
+
+        return fj.mont_mul(x, y, ctx)
+    kernel = partial(_mont_mul_kernel, ctx_name=ctx.name)
     spec = pl.BlockSpec((GRP, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -163,66 +117,48 @@ def mont_mul_pallas(x, y, ctx=None):
 
 
 def _ec_add_mixed_kernel(ax_ref, ay_ref, az_ref, gx_ref, gy_ref, mask_ref,
-                         ox_ref, oy_ref, oz_ref, *, p_np, n0_const, b3_np):
-    """Fused complete mixed EC add (RCB15 alg. 8, a=0) with per-lane select:
-    lanes where mask == 0 keep the accumulator unchanged."""
-    p_limbs = [jnp.uint32(int(v)) for v in p_np]
-    n0 = jnp.uint32(n0_const)
-    b3 = [jnp.uint32(int(v)) for v in b3_np]
+                         ox_ref, oy_ref, oz_ref):
+    """Fused complete mixed EC add with per-lane select: lanes where
+    mask == 0 keep the accumulator unchanged.  Coords redundant (< 2p)."""
+    from cap_tpu.ops import field_jax as fj
 
-    x1 = _load_t(ax_ref)
-    y1 = _load_t(ay_ref)
-    z1 = _load_t(az_ref)
-    x2 = _load_t(gx_ref)
-    y2 = _load_t(gy_ref)
-    b3v = [jnp.full_like(x1[0], b) for b in b3]
-
-    mm = lambda a, b: _mm_body(a, b, p_limbs, n0)
-    ad = lambda a, b: _add_body(a, b, p_limbs)
-    sb = lambda a, b: _sub_body(a, b, p_limbs)
-
-    t0 = mm(x1, x2)
-    t1 = mm(y1, y2)
-    t3 = mm(ad(x2, y2), ad(x1, y1))
-    t3 = sb(t3, ad(t0, t1))
-    t4 = ad(mm(y2, z1), y1)
-    y3 = ad(mm(x2, z1), x1)
-    t0 = ad(ad(t0, t0), t0)
-    t2 = mm(b3v, z1)
-    z3 = ad(t1, t2)
-    t1 = sb(t1, t2)
-    y3 = mm(b3v, y3)
-    x3 = sb(mm(t3, t1), mm(t4, y3))
-    y3 = ad(mm(y3, t0), mm(t1, z3))
-    z3 = ad(mm(z3, t4), mm(t0, t3))
-
+    fc = _fc(fj.FQ_CTX)
+    x1, y1, z1 = _load_t(ax_ref), _load_t(ay_ref), _load_t(az_ref)
+    x2, y2 = _load_t(gx_ref), _load_t(gy_ref)
+    x3, y3, z3 = lk.ec_add_mixed_cols(x1, y1, z1, x2, y2, fc)
     keep = mask_ref[:, 0, :] != 0  # (GRP, 128)
-    sel = lambda new, old: [jnp.where(keep, nn, oo) for nn, oo in zip(new, old)]
-    _store_t(ox_ref, sel(x3, x1))
-    _store_t(oy_ref, sel(y3, y1))
-    _store_t(oz_ref, sel(z3, z1))
+    _store_t(ox_ref, lk.select(keep, x3, x1))
+    _store_t(oy_ref, lk.select(keep, y3, y1))
+    _store_t(oz_ref, lk.select(keep, z3, z1))
 
 
 def ec_add_mixed_pallas_tiled(acc_tiled, g_tiled, mask3):
     """Fused mixed EC add in limb-major tiled layout (all [N//128, 16, 128];
-    mask3 [N//128, 1, 128]; lanes with mask 0 keep the accumulator)."""
+    mask3 [N//128, 1, 128]; lanes with mask 0 keep the accumulator).
+
+    Accumulator coordinates are *redundant* (< 2p); normalize with
+    `normalize_tiled` before host transfer or is-zero checks."""
     ax, ay, az = acc_tiled
     gx, gy = g_tiled
     n128 = ax.shape[0]
-    assert n128 % GRP == 0
-    from cap_tpu.ops.limbs import int_to_limbs
-    from cap_tpu.ops import field_jax as fj
+    if not use_pallas():
+        # CPU/teaching fallback: the scan-based XLA ops (tiny compile graphs;
+        # the flat unrolled code takes XLA:CPU minutes to compile)
+        acc = tuple(normalize_tiled(c) for c in (ax, ay, az))
+        accf = tuple(from_limb_major(c) for c in acc)
+        g = (from_limb_major(gx), from_limb_major(gy))
+        from cap_tpu.ops import ec as _ec
 
-    b3_np = tuple(int_to_limbs(3 * 3 * FQ.mont_r % FQ.p))  # 3b in Montgomery
-    ctx = fj.FQ_CTX
-    kernel = partial(
-        _ec_add_mixed_kernel, p_np=tuple(ctx.p_np), n0_const=ctx.n0_inv, b3_np=b3_np
-    )
-    spec = pl.BlockSpec((GRP, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((GRP, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        cand = _ec.ec_add_mixed(accf, g)
+        keep = mask3.reshape(-1)[:, None] != 0
+        out = tuple(jnp.where(keep, cn, ac) for cn, ac in zip(cand, accf))
+        return tuple(to_limb_major(c) for c in out)
+    grp = _grp_for(n128)
+    spec = pl.BlockSpec((grp, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((grp, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        kernel,
-        grid=(n128 // GRP,),
+        _ec_add_mixed_kernel,
+        grid=(n128 // grp,),
         in_specs=[spec, spec, spec, spec, spec, mspec],
         out_specs=[spec, spec, spec],
         out_shape=[jax.ShapeDtypeStruct((n128, NLIMBS, 128), jnp.uint32)] * 3,
@@ -230,9 +166,136 @@ def ec_add_mixed_pallas_tiled(acc_tiled, g_tiled, mask3):
     return tuple(out)
 
 
+def _grp_for(n128: int) -> int:
+    """Largest sublane group count in {8,4,2,1} dividing the tile row count."""
+    for g in (8, 4, 2, 1):
+        if n128 % g == 0:
+            return g
+    return 1
+
+
+def _ec_add_mixed_signed_kernel(ax_ref, ay_ref, az_ref, gx_ref, gy_ref,
+                                mask_ref, neg_ref, ox_ref, oy_ref, oz_ref):
+    """Mixed EC add-or-subtract: lanes with neg != 0 add the NEGATED table
+    point (y -> 2p - y, valid redundant since table y in (0, p)); lanes with
+    mask == 0 keep the accumulator."""
+    from cap_tpu.ops import field_jax as fj
+
+    fc = _fc(fj.FQ_CTX)
+    _, p2, _ = fc
+    x1, y1, z1 = _load_t(ax_ref), _load_t(ay_ref), _load_t(az_ref)
+    x2, y2 = _load_t(gx_ref), _load_t(gy_ref)
+    negm = neg_ref[:, 0, :] != 0
+    # 2p - y (no borrow chain needed per-limb? it does need one — reuse sub)
+    y2n = lk.sub_mod_2p([jnp.zeros_like(c) for c in y2], y2, p2)
+    y2 = lk.select(negm, y2n, y2)
+    x3, y3, z3 = lk.ec_add_mixed_cols(x1, y1, z1, x2, y2, fc)
+    keep = mask_ref[:, 0, :] != 0
+    _store_t(ox_ref, lk.select(keep, x3, x1))
+    _store_t(oy_ref, lk.select(keep, y3, y1))
+    _store_t(oz_ref, lk.select(keep, z3, z1))
+
+
+def ec_add_mixed_signed_pallas_tiled(acc_tiled, g_tiled, mask3, neg3):
+    """Signed fused mixed EC add in limb-major tiled layout.
+
+    mask3/neg3: [N//128, 1, 128] uint32 — mask selects active lanes, neg
+    subtracts the table point instead of adding it."""
+    ax, ay, az = acc_tiled
+    gx, gy = g_tiled
+    n128 = ax.shape[0]
+    if not use_pallas():
+        from cap_tpu.ops import ec as _ec, field_jax as fj
+
+        acc = tuple(normalize_tiled(c) for c in (ax, ay, az))
+        accf = tuple(from_limb_major(c) for c in acc)
+        gxf, gyf = from_limb_major(gx), from_limb_major(gy)
+        negm = neg3.reshape(-1)[:, None] != 0
+        gyf = jnp.where(negm, fj.sub(fj.zero(gyf.shape[:-1], fj.FQ_CTX), gyf, fj.FQ_CTX), gyf)
+        cand = _ec.ec_add_mixed(accf, (gxf, gyf))
+        keep = mask3.reshape(-1)[:, None] != 0
+        out = tuple(jnp.where(keep, cn, ac) for cn, ac in zip(cand, accf))
+        return tuple(to_limb_major(c) for c in out)
+    grp = _grp_for(n128)
+    spec = pl.BlockSpec((grp, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((grp, 1, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _ec_add_mixed_signed_kernel,
+        grid=(n128 // grp,),
+        in_specs=[spec, spec, spec, spec, spec, mspec, mspec],
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((n128, NLIMBS, 128), jnp.uint32)] * 3,
+    )(ax, ay, az, gx, gy, mask3, neg3)
+    return tuple(out)
+
+
+def _ec_add_kernel(ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref,
+                   ox_ref, oy_ref, oz_ref):
+    """Complete projective add (both operands may be identity), redundant."""
+    from cap_tpu.ops import field_jax as fj
+
+    fc = _fc(fj.FQ_CTX)
+    p1 = (_load_t(ax_ref), _load_t(ay_ref), _load_t(az_ref))
+    p2 = (_load_t(bx_ref), _load_t(by_ref), _load_t(bz_ref))
+    x3, y3, z3 = lk.ec_add_cols(p1, p2, fc)
+    _store_t(ox_ref, x3)
+    _store_t(oy_ref, y3)
+    _store_t(oz_ref, z3)
+
+
+def ec_add_pallas_tiled(p_tiled, q_tiled):
+    """Complete projective add on limb-major tiles ([M, 16, 128] each coord,
+    M % GRP == 0).  Returns redundant coordinates."""
+    ax, ay, az = p_tiled
+    bx, by, bz = q_tiled
+    n128 = ax.shape[0]
+    if not use_pallas():
+        from cap_tpu.ops import ec as _ec
+
+        p1 = tuple(from_limb_major(normalize_tiled(c)) for c in (ax, ay, az))
+        p2_ = tuple(from_limb_major(normalize_tiled(c)) for c in (bx, by, bz))
+        out = _ec.ec_add(p1, p2_)
+        return tuple(to_limb_major(c) for c in out)
+    grp = _grp_for(n128)
+    spec = pl.BlockSpec((grp, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _ec_add_kernel,
+        grid=(n128 // grp,),
+        in_specs=[spec] * 6,
+        out_specs=[spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((n128, NLIMBS, 128), jnp.uint32)] * 3,
+    )(ax, ay, az, bx, by, bz)
+    return tuple(out)
+
+
+def _normalize_kernel(x_ref, o_ref, *, ctx_name):
+    p_limbs, _, _ = _fc(_ctx_by_name(ctx_name))
+    _store_t(o_ref, lk.cond_sub_p(_load_t(x_ref), p_limbs))
+
+
+def normalize_tiled(x_tiled, ctx=None):
+    """Reduce redundant [0,2p) limb-major tiles to canonical [0,p)."""
+    from cap_tpu.ops import field_jax as fj
+
+    ctx = ctx or fj.FQ_CTX
+    n128 = x_tiled.shape[0]
+    if not use_pallas():
+        fc = lk.field_consts(ctx)
+        return _stack_x(lk.cond_sub_p(_load_x(x_tiled), fc[0]))
+    grp = _grp_for(n128)
+    spec = pl.BlockSpec((grp, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_normalize_kernel, ctx_name=ctx.name),
+        grid=(n128 // grp,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n128, NLIMBS, 128), jnp.uint32),
+    )(x_tiled)
+
+
 def ec_add_mixed_pallas(acc, g_affine, mask):
     """acc: (x,y,z) [N,16] projective; g_affine: (x,y) [N,16]; mask [N] uint32
-    (0 -> keep acc).  Returns new (x,y,z) in [N,16] layout."""
+    (0 -> keep acc).  Returns new (x,y,z) in [N,16] layout (redundant)."""
     acc_t = tuple(to_limb_major(c) for c in acc)
     g_t = tuple(to_limb_major(c) for c in g_affine)
     out = ec_add_mixed_pallas_tiled(acc_t, g_t, mask.reshape(-1, 1, 128))

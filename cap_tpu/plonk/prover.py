@@ -45,6 +45,7 @@ def _mont_many(vs):
 
 
 from cap_tpu.ops import msm as msm_mod
+from cap_tpu.ops import msm_signed as msg_mod
 
 _msm_many_dev = jax.jit(
     lambda pts, coeffs: jax.vmap(lambda s: msm_mod.msm_device(pts, s))(coeffs)
@@ -68,6 +69,8 @@ _msm_windowed_many = jax.jit(
     lambda tab, coeffs: jax.vmap(lambda s: msm_mod.msm_windowed_device(tab, s))(coeffs)
 )
 
+_msm_signed_jit = jax.jit(msg_mod.msm_signed_batch_device)
+
 
 def _window_table(srs, m: int):
     """Lazily build (and cache on the srs) the digit table covering >= m."""
@@ -81,16 +84,38 @@ def _window_table(srs, m: int):
     return cached
 
 
+def signed_table(srs, m: int):
+    """Signed-window digit table covering >= m points (cached per size).
+
+    The [513, mp, 32] uint16 layout costs 33 KB/point — 2^17 (the Aztec CRS
+    ceiling) fits in ~2.2 GB of HBM.  Cached per padded size so commits of a
+    smaller domain don't sweep a larger table."""
+    mp = ((m + msg_mod.WCHUNK - 1) // msg_mod.WCHUNK) * msg_mod.WCHUNK
+    tables = getattr(srs, "_signed_tables", None)
+    if tables is None:
+        tables = srs._signed_tables = {}
+    if mp not in tables:
+        k = min(mp, srs.num_points)
+        tables[mp] = msg_mod.build_signed_table(srs.g1_x[:k], srs.g1_y[:k], k)
+    return tables[mp]
+
+
 def commit_batch(srs, coeffs_plain_batch) -> list:
     """Commit [k, m, 16] plain coefficient arrays -> k host affine points.
 
-    Two paths: the windowed-digit MSM (8-bit digits against a precomputed
-    SRS multiple table — 13x faster measured at 2^15), or the per-bit
-    masked MSM with CAP_MSM_WINDOWED=0."""
+    Default path: the signed-window MSM (msm_signed.py) — digit extraction,
+    Pallas point adds, window fold and Horner all in one device program, so
+    the host sees only [k, 3, 16] (~29 ms round-trips dominate anything
+    chattier on this runtime).  CAP_MSM=windowed / bits select the round-1
+    engines (kept for cross-checks and the CPU suite)."""
     import os
 
     k, m, _ = coeffs_plain_batch.shape
-    if os.environ.get("CAP_MSM_WINDOWED", "1") == "1":
+    mode = os.environ.get("CAP_MSM", "signed")
+    if mode == "signed":
+        res = commit_batch_device(srs, coeffs_plain_batch)
+        return msg_mod.points_from_batch_result(res)
+    if mode == "windowed":
         mp, tx, ty = _window_table(srs, m)
         padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, mp)
         tw = _msm_windowed_many((tx[:, :mp], ty[:, :mp]), padded)
@@ -111,6 +136,15 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
     return out
 
 
+def commit_batch_device(srs, coeffs_plain_batch):
+    """Device half of the signed-window commit: returns [k, 3, 16]
+    projective points (no host transfer; composable into fused round jits)."""
+    k, m, _ = coeffs_plain_batch.shape
+    tab = signed_table(srs, m)
+    padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, tab.shape[1])
+    return _msm_signed_jit(tab, padded)
+
+
 # ---------------------------------------------------------------------------
 # per-domain jitted kernels
 # ---------------------------------------------------------------------------
@@ -127,6 +161,17 @@ def _kernels(n: int):
         return jnp.concatenate(
             [c, jnp.zeros((m - c.shape[0], NLIMBS), jnp.uint32)], axis=0
         )
+
+    @jax.jit
+    def gather_phase(wit_plain_u16, wire_idx):
+        """[nv,16] uint16 witness + [5,n] int32 -> [5,n,16] Montgomery evals.
+
+        The witness is uploaded once (~0.8 MB at 2^15) and expanded on
+        device; round 1 uploaded the gathered 10 MB wire array instead,
+        which cost ~4x the transfer time on this runtime's tunnel."""
+        wit = wit_plain_u16.astype(jnp.uint32)
+        gathered = wit[wire_idx.reshape(-1)].reshape(5, n, NLIMBS)
+        return fj.to_mont(gathered)
 
     @jax.jit
     def wires_phase(wire_evals, blinds):
@@ -173,7 +218,7 @@ def _kernels(n: int):
 
     @jax.jit
     def quotient_phase(
-        wire_ext, z_coeffs, pub_evals,
+        wire_ext, z_coeffs, pub_mont,
         sel_coset, sigma_coset, ks_x_coset, l1_coset, inv_zh_coset,
         alpha, beta, gamma,
     ):
@@ -181,6 +226,7 @@ def _kernels(n: int):
         w8 = jax.vmap(lambda c: coset_ntt(_pad(c, m8), dom8, g))(wire_ext)
         z8 = coset_ntt(_pad(z_coeffs, m8), dom8, g)
         zw8 = jnp.roll(z8, -8, axis=0)
+        pub_evals = _pad(pub_mont, n)  # PI poly is zero past the pub rows
         pi8 = coset_ntt(_pad(intt(pub_evals, dom), m8), dom8, g)
 
         S = {name: sel_coset[i] for i, name in enumerate(SELECTORS)}
@@ -225,11 +271,19 @@ def _kernels(n: int):
     @jax.jit
     def evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta_m, zw_m):
         def pows(s):
-            base = jnp.broadcast_to(s, (n + 3, NLIMBS))
-            inc = lax.associative_scan(
-                lambda a, b: fj.mont_mul(a, b), base, axis=0
-            )  # s^(i+1)
-            return jnp.concatenate([fj.one_mont((1,)), inc[:-1]], axis=0)
+            # doubling ladder: [s^0..s^(L-1)] ++ that * s^L — ~n muls total,
+            # no prefix scan (associative_scan was a measured sore spot)
+            target = 1
+            while target < n + 3:
+                target <<= 1
+            arr = fj.one_mont((1,))
+            pk = s[None]
+            length = 1
+            while length < target:
+                arr = jnp.concatenate([arr, fj.mont_mul(arr, pk)], axis=0)
+                pk = fj.mont_mul(pk, pk)
+                length *= 2
+            return arr[: n + 3]
 
         zeta_pows = pows(zeta_m)
         zeta_om_pows = pows(zw_m)
@@ -260,6 +314,7 @@ def _kernels(n: int):
 
     return SimpleNamespace(
         dom=dom, dom8=dom8, dom2=dom2, g=g,
+        gather_phase=gather_phase,
         wires_phase=wires_phase, z_phase=z_phase,
         quotient_phase=quotient_phase, evals_phase=evals_phase,
         lincomb=lincomb, open_phase=open_phase,
@@ -365,10 +420,13 @@ def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
 # ---------------------------------------------------------------------------
 
 
-def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = None) -> PlonkProof:
+def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None = None) -> PlonkProof:
     """Generate a TurboPlonk proof.
 
-    wire_values: 5 lists of ints (length n) — from gather_wires().
+    witness_values: the circuit's witness list (ints); wires are gathered on
+    device through the key's cached arithmetization (0.8 MB uploaded instead
+    of the 10 MB gathered wire array — the tunnel is this runtime's slowest
+    link).
     pub_inputs: list of ints (the circuit's public inputs, in order).
     ext_msg: extra transcript binding (jf's `Option<ext_msg>` hook).
     CAP_PROVE_TIMING=1 prints a per-stage wall-clock breakdown.
@@ -396,10 +454,14 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
     if ext_msg is not None:
         transcript.append_bytes(b"ext", ext_msg)
 
-    # round 1 — wire polynomials (packed plain, Montgomery-converted on device
-    # — saves ~160k host Montgomery muls per proof)
-    wire_plain = jnp.asarray(np.stack([ints_to_limbs(w) for w in wire_values]))
-    wire_evals = _to_mont_j(wire_plain)
+    # round 1 — wire polynomials: upload the witness once (uint16 limbs),
+    # gather + Montgomery-convert on device
+    wit_u16 = jnp.asarray(ints_to_limbs(witness_values).astype(np.uint16))
+    wire_idx = getattr(pk, "wire_index_dev", None)
+    if wire_idx is None:
+        wire_idx = jnp.asarray(np.asarray(pk.wire_index, dtype=np.int32))
+        pk.wire_index_dev = wire_idx
+    wire_evals = K.gather_phase(wit_u16, wire_idx)
     blinds1 = _mont_many([FR.rand(rng) for _ in range(10)]).reshape(5, 2, NLIMBS)
     wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1)
     _mark("pack+to_mont")
@@ -420,10 +482,9 @@ def prove(rng, pk: ProvingKey, wire_values, pub_inputs, ext_msg: bytes | None = 
     alpha = transcript.challenge(b"alpha")
 
     # round 3 — quotient
-    pub_padded = list(pub_inputs) + [0] * (n - len(pub_inputs))
-    pub_evals = jnp.asarray(ints_to_limbs(pub_padded, FR))
+    pub_mont = jnp.asarray(ints_to_limbs([v % p for v in pub_inputs], FR))
     t_chunks, t_plain, tail_ok = K.quotient_phase(
-        wire_ext, z_coeffs, pub_evals,
+        wire_ext, z_coeffs, pub_mont,
         pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset, pk.inv_zh_coset,
         _mont(alpha), _mont(beta), _mont(gamma),
     )

@@ -177,7 +177,7 @@ def prove(rng, proving_key: FreezeProvingKey, witness: FreezeWitness,
     # default: rely on the prover's device-side quotient-tail check, which
     # rejects unsatisfiable witnesses without the Python row sweep
     return plonk_prover.prove(
-        rng, proving_key.plonk_pk, plonk_prover.gather_wires(proving_key.plonk_pk, circuit.witness_values), pubs,
+        rng, proving_key.plonk_pk, circuit.witness_values, pubs,
         ext_msg=te_point_to_bytes(txn_memo_ver_key),
     )
 

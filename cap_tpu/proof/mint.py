@@ -185,7 +185,7 @@ def prove(rng, proving_key: MintProvingKey, witness: MintWitness,
     # default: rely on the prover's device-side quotient-tail check, which
     # rejects unsatisfiable witnesses without the Python row sweep
     return plonk_prover.prove(
-        rng, proving_key.plonk_pk, plonk_prover.gather_wires(proving_key.plonk_pk, circuit.witness_values), pubs,
+        rng, proving_key.plonk_pk, circuit.witness_values, pubs,
         ext_msg=_ext_msg(txn_memo_ver_key),
     )
 

@@ -91,8 +91,8 @@ def test_plonk_cross_wiring_negatives(tpu):
     c1, c2 = build(x1, p1), build(x2, p2)
     srs = srs_mod.universal_setup(c1.eval_domain_size() + 2, rng)
     pk1, vk1 = prover.preprocess(srs, c1)
-    proof1 = prover.prove(rng, pk1, prover.gather_wires(pk1, c1.witness_values), [p1])
-    proof2 = prover.prove(rng, pk1, prover.gather_wires(pk1, c2.witness_values), [p2])
+    proof1 = prover.prove(rng, pk1, c1.witness_values, [p1])
+    proof2 = prover.prove(rng, pk1, c2.witness_values, [p2])
     assert verifier.verify(vk1, [p1], proof1)
     assert verifier.verify(vk1, [p2], proof2)
     # cross-wiring
