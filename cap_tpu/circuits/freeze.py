@@ -36,13 +36,12 @@ def build_freeze_circuit(witness, pub_input, n_in: int, depth: int) -> PlonkCirc
         create_acc_member_witness_var(c, w, depth)
         for w in witness.acc_member_witnesses
     ]
-    fee_sk = c.create_variable(witness.fee_sk)
-    frz_sks = [c.create_variable(s) for s in witness.freezing_sks]
+    fee_sk = c.load(witness.fee_sk)
+    frz_sks = [c.load(s) for s in witness.freezing_sks]
 
-    root_pub = c.create_variable(pub_input.merkle_root)
-    native_ac = c.create_variable(NATIVE_ASSET_CODE)
-    c.enforce_constant(native_ac, NATIVE_ASSET_CODE)
-    fee = c.create_variable(pub_input.fee)
+    root_pub = c.load(pub_input.merkle_root)
+    native_ac = c.constant(NATIVE_ASSET_CODE)
+    fee = c.load(pub_input.fee)
 
     nullifier_vars = []
     comm_vars = []
@@ -96,6 +95,21 @@ def build_freeze_circuit(witness, pub_input, n_in: int, depth: int) -> PlonkCirc
 
 
 def _const(c: PlonkCircuit, v: int) -> int:
-    var = c.create_variable(v)
-    c.enforce_constant(var, v)
-    return var
+    return c.constant(v)
+
+
+def extract_inputs(witness, pub_input, n_in: int, depth: int) -> list:
+    """Leaf inputs for the witness tape, in build_freeze_circuit load order."""
+    from cap_tpu.circuits.structs import acc_wit_inputs, ro_inputs
+
+    out = []
+    for ro in witness.input_ros:
+        out += ro_inputs(ro)
+    for ro in witness.output_ros:
+        out += ro_inputs(ro)
+    for w in witness.acc_member_witnesses:
+        out += acc_wit_inputs(w, depth)
+    out.append(witness.fee_sk)
+    out += list(witness.freezing_sks)
+    out += [pub_input.merkle_root, pub_input.fee]
+    return out

@@ -44,10 +44,10 @@ def build_mint_circuit(witness, pub_input, tree_depth: int) -> PlonkCircuit:
     mint_ro = RecordOpeningVar.new(c, witness.mint_ro)
     chg_ro = RecordOpeningVar.new(c, witness.chg_ro)
     acc_wit = create_acc_member_witness_var(c, witness.acc_member_witness, tree_depth)
-    sk = c.create_variable(witness.fee_sk)
-    seed = c.create_variable(witness.ac_seed)
-    digest = c.create_variable(witness.ac_digest)
-    rand = c.create_variable(witness.viewing_memo_enc_rand)
+    sk = c.load(witness.fee_sk)
+    seed = c.load(witness.ac_seed)
+    digest = c.load(witness.ac_digest)
+    rand = c.load(witness.viewing_memo_enc_rand)
 
     # --- core derivations ----------------------------------------------------
     spend = prove_spend(c, fee_ro, acc_wit, sk, Spender.USER)
@@ -61,11 +61,10 @@ def build_mint_circuit(witness, pub_input, tree_depth: int) -> PlonkCircuit:
 
     # --- public inputs (order == MintPublicInput.to_scalars()) --------------
     c.set_variable_public(spend.root)
-    native_ac = c.create_variable(NATIVE_ASSET_CODE)
-    c.enforce_constant(native_ac, NATIVE_ASSET_CODE)
+    native_ac = c.constant(NATIVE_ASSET_CODE)
     c.set_variable_public(native_ac)
     c.set_variable_public(spend.nullifier)
-    fee = c.create_variable(pub_input.fee)
+    fee = c.load(pub_input.fee)
     c.set_variable_public(fee)
     c.set_variable_public(mint_comm)
     c.set_variable_public(chg_comm)
@@ -77,7 +76,7 @@ def build_mint_circuit(witness, pub_input, tree_depth: int) -> PlonkCircuit:
     memo_pub = elgamal.create_ciphertext_variable(c, pub_input.viewing_memo.memo)
     elgamal.set_ciphertext_public(c, memo_pub)
 
-    # --- constraints ---------------------------------------------------------
+    # --- constraints (see extract_inputs below for the tape load order) ------
     # fee input & change: native, dummy policy, unfrozen, same owner
     c.enforce_constant(fee_ro.asset_code, NATIVE_ASSET_CODE)
     c.enforce_constant(chg_ro.asset_code, NATIVE_ASSET_CODE)
@@ -97,3 +96,19 @@ def build_mint_circuit(witness, pub_input, tree_depth: int) -> PlonkCircuit:
     c.logic_or_gate(eq, dummy_viewer)
 
     return c
+
+
+def extract_inputs(witness, pub_input, tree_depth: int) -> list:
+    """Leaf inputs for the witness tape, in build_mint_circuit load order."""
+    from cap_tpu.circuits.structs import acc_wit_inputs, ciphertext_inputs, ro_inputs
+
+    out = []
+    out += ro_inputs(witness.fee_ro)
+    out += ro_inputs(witness.mint_ro)
+    out += ro_inputs(witness.chg_ro)
+    out += acc_wit_inputs(witness.acc_member_witness, tree_depth)
+    out += [witness.fee_sk, witness.ac_seed, witness.ac_digest,
+            witness.viewing_memo_enc_rand]
+    out.append(pub_input.fee)
+    out += ciphertext_inputs(pub_input.viewing_memo.memo)
+    return out

@@ -19,6 +19,57 @@ from cap_tpu.structs import AssetPolicy, ExpirableCredential, RecordOpening
 ViewableMemoVar = elgamal.ElGamalHybridCtxtVars
 
 
+# ---------------------------------------------------------------------------
+# extract-inputs helpers: the per-prove leaf values consumed by the witness
+# tape, in exactly the order the builders' load() calls consume them.  Each
+# mirrors the corresponding Var constructor; tests/test_witness_tape.py
+# asserts the order against a fresh build for every circuit family.
+# ---------------------------------------------------------------------------
+
+
+def policy_inputs(policy: "AssetPolicy") -> list:
+    out = [1 if b else 0 for b in policy.reveal_map.bits]
+    out += [policy.viewer_pk.x, policy.viewer_pk.y]
+    out += [policy.cred_pk.x, policy.cred_pk.y]
+    out += [policy.freezer_pk.x, policy.freezer_pk.y]
+    out.append(policy.reveal_threshold)
+    return out
+
+
+def ro_inputs(ro: "RecordOpening") -> list:
+    out = [ro.amount, ro.asset_def.code.value]
+    out += [ro.pub_key.address.x, ro.pub_key.address.y]
+    out += policy_inputs(ro.asset_def.policy)
+    out.append(1 if ro.freeze_flag else 0)
+    out.append(ro.blind.value)
+    return out
+
+
+def acc_wit_inputs(wit, depth: int) -> list:
+    from cap_tpu.crypto.merkle import base3_digits
+
+    digits = base3_digits(wit.uid, depth)
+    out = [wit.uid]
+    for lvl in range(depth):
+        node = wit.merkle_path.nodes[lvl]
+        d = digits[lvl]
+        out += [d & 1, (d >> 1) & 1, node.sibling1, node.sibling2]
+    return out
+
+
+def cred_inputs(cred: "ExpirableCredential") -> list:
+    out = [cred.user_addr.x, cred.user_addr.y]
+    out += [a.to_scalar() for a in cred.attrs]
+    out.append(cred.expiry)
+    out += [cred.cred.sig_r.x, cred.cred.sig_r.y, cred.cred.s]
+    out += [cred.creator_pk.x, cred.creator_pk.y]
+    return out
+
+
+def ciphertext_inputs(ct) -> list:
+    return [ct.ephemeral.x, ct.ephemeral.y] + list(ct.symm_ctxts)
+
+
 @dataclass(frozen=True)
 class UserAddressVar:
     point: ecc.PointVariable
@@ -35,7 +86,7 @@ class AssetPolicyVar:
 
     @staticmethod
     def new(c: PlonkCircuit, policy: AssetPolicy) -> "AssetPolicyVar":
-        bits = [c.create_boolean_variable(b) for b in policy.reveal_map.bits]
+        bits = [c.load_bool(b) for b in policy.reveal_map.bits]
         # scalar = big-endian fold
         p = c.f.p
         acc = c.zero
@@ -51,7 +102,7 @@ class AssetPolicyVar:
             freezer_pk=ecc.create_point_variable(c, policy.freezer_pk),
             reveal_map=acc,
             reveal_map_bits=tuple(bits),
-            reveal_threshold=c.create_variable(policy.reveal_threshold),
+            reveal_threshold=c.load(policy.reveal_threshold),
         )
 
     def to_scalar_vars(self) -> list:
@@ -97,12 +148,12 @@ class RecordOpeningVar:
     @staticmethod
     def new(c: PlonkCircuit, ro: RecordOpening) -> "RecordOpeningVar":
         return RecordOpeningVar(
-            amount=c.create_variable(ro.amount),
-            asset_code=c.create_variable(ro.asset_def.code.value),
+            amount=c.load(ro.amount),
+            asset_code=c.load(ro.asset_def.code.value),
             owner=ecc.create_point_variable(c, ro.pub_key.address),
             policy=AssetPolicyVar.new(c, ro.asset_def.policy),
-            freeze_flag=c.create_boolean_variable(ro.freeze_flag),
-            blind=c.create_variable(ro.blind.value),
+            freeze_flag=c.load_bool(ro.freeze_flag),
+            blind=c.load(ro.blind.value),
         )
 
     def derive_record_commitment(self, c: PlonkCircuit) -> int:
@@ -136,8 +187,8 @@ class ExpirableCredVar:
     def new(c: PlonkCircuit, cred: ExpirableCredential) -> "ExpirableCredVar":
         return ExpirableCredVar(
             user_addr=ecc.create_point_variable(c, cred.user_addr),
-            attrs=tuple(c.create_variable(a.to_scalar()) for a in cred.attrs),
-            expiry=c.create_variable(cred.expiry),
+            attrs=tuple(c.load(a.to_scalar()) for a in cred.attrs),
+            expiry=c.load(cred.expiry),
             sig=schnorr_g.create_signature_variable(c, cred.cred),
             creator_pk=ecc.create_point_variable(c, cred.creator_pk),
         )

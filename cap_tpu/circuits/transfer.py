@@ -50,7 +50,7 @@ def build_transfer_circuit(witness, pub_input, n_in: int, n_out: int, depth: int
     assert len(witness.output_ros) == n_out
 
     # --- witness variables ---------------------------------------------------
-    shared_code = c.create_variable(witness.asset_def.code.value)
+    shared_code = c.load(witness.asset_def.code.value)
     shared_policy = AssetPolicyVar.new(c, witness.asset_def.policy)
     in_ros = []
     in_wits = []
@@ -59,17 +59,16 @@ def build_transfer_circuit(witness, pub_input, n_in: int, n_out: int, depth: int
     for sec in witness.input_secrets:
         in_ros.append(RecordOpeningVar.new(c, sec.ro))
         in_wits.append(create_acc_member_witness_var(c, sec.acc_member_witness, depth))
-        in_sks.append(c.create_variable(sec.sk))
+        in_sks.append(c.load(sec.sk))
         in_creds.append(ExpirableCredVar.new(c, sec.cred))
     out_ros = [RecordOpeningVar.new(c, ro) for ro in witness.output_ros]
-    rand = c.create_variable(witness.viewing_memo_enc_rand)
+    rand = c.load(witness.viewing_memo_enc_rand)
 
     # --- public scalar vars (values bound later in to_scalars() order) ------
-    root_pub = c.create_variable(pub_input.merkle_root)
-    native_ac = c.create_variable(NATIVE_ASSET_CODE)
-    c.enforce_constant(native_ac, NATIVE_ASSET_CODE)
-    valid_until = c.create_variable(pub_input.valid_until)
-    fee = c.create_variable(pub_input.fee)
+    root_pub = c.load(pub_input.merkle_root)
+    native_ac = c.constant(NATIVE_ASSET_CODE)
+    valid_until = c.load(pub_input.valid_until)
+    fee = c.load(pub_input.fee)
 
     # --- per-input constraints ----------------------------------------------
     nullifier_vars = []
@@ -147,9 +146,33 @@ def build_transfer_circuit(witness, pub_input, n_in: int, n_out: int, depth: int
 
 
 def _const(c: PlonkCircuit, v: int) -> int:
-    var = c.create_variable(v)
-    c.enforce_constant(var, v)
-    return var
+    return c.constant(v)
+
+
+def extract_inputs(witness, pub_input, n_in: int, n_out: int, depth: int) -> list:
+    """Leaf inputs for the witness tape, in build_transfer_circuit load
+    order (tests assert this against a fresh build)."""
+    from cap_tpu.circuits.structs import (
+        acc_wit_inputs,
+        ciphertext_inputs,
+        cred_inputs,
+        policy_inputs,
+        ro_inputs,
+    )
+
+    out = [witness.asset_def.code.value]
+    out += policy_inputs(witness.asset_def.policy)
+    for sec in witness.input_secrets:
+        out += ro_inputs(sec.ro)
+        out += acc_wit_inputs(sec.acc_member_witness, depth)
+        out.append(sec.sk)
+        out += cred_inputs(sec.cred)
+    for ro in witness.output_ros:
+        out += ro_inputs(ro)
+    out.append(witness.viewing_memo_enc_rand)
+    out += [pub_input.merkle_root, pub_input.valid_until, pub_input.fee]
+    out += ciphertext_inputs(pub_input.viewing_memo.memo)
+    return out
 
 
 def _memo_plaintext(c, shared_code, shared_policy, in_ros, in_creds, out_ros):

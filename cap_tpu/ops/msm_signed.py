@@ -149,12 +149,13 @@ def _ec_double_dev(p):
     return ec.ec_add(p, p)
 
 
-def msm_signed_batch_device(table, scalars_batch):
-    """Batched fixed-base MSM, entirely on device.
+def msm_signed_windows_device(table, scalars_batch):
+    """Batched fixed-base MSM, device part: per-window sums.
 
     table: [513, mp, 32] uint16 from build_signed_table.
     scalars_batch: [k, mp, 16] plain-limb scalars (pad with zeros).
-    Returns [k, 3, 16]: projective (canonical) commitment per polynomial.
+    Returns [k, 26, 3, 16]: canonical projective window sum T_w per
+    polynomial; the commitment is sum_w 1024^w T_w (host Horner).
     """
     tab = table
     mp = tab.shape[1]
@@ -213,6 +214,19 @@ def msm_signed_batch_device(table, scalars_batch):
         acc = ec.ec_add(lo, hi)
         width = half
     t_win = tuple(c.reshape(k, NUM_WINDOWS, NLIMBS) for c in acc)  # [k, 26, 16]
+    return jnp.stack(t_win, axis=2)  # [k, 26, 3, 16] projective (canonical)
+
+
+def msm_signed_batch_device(table, scalars_batch):
+    """Batched fixed-base MSM, entirely on device (including the Horner).
+
+    Kept for mesh composition; the prover uses msm_signed_windows_device +
+    host Horner instead — ~250 sequential scan-based EC ops on device cost
+    ~400 ms of launch overhead vs ~8 ms of host bigint work + one 8 KB
+    transfer."""
+    t_win_s = msm_signed_windows_device(table, scalars_batch)
+    t_win = tuple(t_win_s[:, :, i] for i in range(3))
+    k = scalars_batch.shape[0]
 
     # cross-window Horner on device: acc = 1024*acc + T_w, MSB-first
     def horner_step(acc, w):
@@ -235,6 +249,40 @@ def msm_signed_batch_device(table, scalars_batch):
         lambda a, w: horner_step(a, w + 1), acc0, jnp.arange(NUM_WINDOWS - 1)
     )
     return jnp.stack(acc_fin, axis=1)  # [k, 3, 16]
+
+
+def points_from_windows_result(res) -> list:
+    """[k, 26, 3, 16] device window sums -> k host affine points (or None).
+
+    One batched z-inversion over all k*26 windows, then a 26-step Horner
+    (10 doublings/window) per polynomial in host bigints.
+    """
+    from cap_tpu.crypto.bn254 import g1j_add, g1j_double, g1j_from_affine, g1j_to_affine
+    from cap_tpu.ops.limbs import limbs_to_ints
+
+    arr = np.asarray(res)
+    k = arr.shape[0]
+    flat = arr.reshape(k * NUM_WINDOWS, 3, NLIMBS)
+    xs = limbs_to_ints(flat[:, 0], FQ)
+    ys = limbs_to_ints(flat[:, 1], FQ)
+    zs = limbs_to_ints(flat[:, 2], FQ)
+    nz = [(i, z) for i, z in enumerate(zs) if z != 0]
+    zinvs = FQ.batch_inv([z for _, z in nz]) if nz else []
+    zmap = {i: zi for (i, _), zi in zip(nz, zinvs)}
+    out = []
+    for i in range(k):
+        acc = (1, 1, 0)
+        for w in reversed(range(NUM_WINDOWS)):
+            for _ in range(WINDOW_BITS):
+                acc = g1j_double(acc)
+            j = i * NUM_WINDOWS + w
+            if zs[j] != 0:
+                zi = zmap[j]
+                acc = g1j_add(
+                    acc, g1j_from_affine((xs[j] * zi % FQ.p, ys[j] * zi % FQ.p))
+                )
+        out.append(g1j_to_affine(acc))
+    return out
 
 
 def points_from_batch_result(res) -> list:

@@ -63,6 +63,11 @@ class PlonkCircuit:
         self.pub_vars: list[int] = []
         self.gates: list = []  # (wires tuple5, sels dict)
         self._finalized: Finalized | None = None
+        # witness tape: one op per created variable describing how to
+        # recompute its value from the LOAD inputs (see plonk/tape.py);
+        # entries for vars 0/1 are constants
+        self.tape: list = [("const", 0), ("const", 1)]
+        self.num_loads = 0
         self.enforce_constant(0, 0)
         self.enforce_constant(1, 1)
 
@@ -77,7 +82,37 @@ class PlonkCircuit:
 
     def create_variable(self, val: int) -> int:
         self.witness_values.append(val % self.f.p)
+        self.tape.append(("raw", val % self.f.p))
         return len(self.witness_values) - 1
+
+    def _tag(self, *op) -> None:
+        """Replace the last tape entry ('raw') with a structured op."""
+        self.tape[-1] = op
+
+    def load(self, val: int) -> int:
+        """Create a variable whose value is a per-prove witness/public input
+        (the leaf of the witness tape — see extract-inputs in circuits/*)."""
+        v = self.create_variable(val)
+        self._tag("load", self.num_loads)
+        self.num_loads += 1
+        return v
+
+    def load_bool(self, val) -> int:
+        v = self.load(1 if val else 0)
+        self.enforce_bool(v)
+        return v
+
+    def constant(self, val: int) -> int:
+        """Variable pinned to a (shape-level) constant via a gate."""
+        val = val % self.f.p
+        if val == 0:
+            return 0
+        if val == 1:
+            return 1
+        v = self.create_variable(val)
+        self._tag("const", val)
+        self.enforce_constant(v, val)
+        return v
 
     def create_public_variable(self, val: int) -> int:
         v = self.create_variable(val)
@@ -90,6 +125,13 @@ class PlonkCircuit:
     def create_boolean_variable(self, val) -> int:
         v = self.create_variable(1 if val else 0)
         self.enforce_bool(v)
+        return v
+
+    def hint(self, val: int, *op) -> int:
+        """Create a variable with an explicit tape op (no gate); the caller
+        is responsible for constraining it."""
+        v = self.create_variable(val)
+        self._tag(*op)
         return v
 
     def witness(self, var: int) -> int:
@@ -126,26 +168,31 @@ class PlonkCircuit:
 
     def add(self, a: int, b: int) -> int:
         c = self.create_variable(self.witness(a) + self.witness(b))
+        self._tag("add", a, b)
         self.add_gate(a, b, c)
         return c
 
     def sub(self, a: int, b: int) -> int:
         c = self.create_variable(self.witness(a) - self.witness(b))
+        self._tag("sub", a, b)
         self.sub_gate(a, b, c)
         return c
 
     def mul(self, a: int, b: int) -> int:
         c = self.create_variable(self.witness(a) * self.witness(b))
+        self._tag("mul", a, b)
         self.mul_gate(a, b, c)
         return c
 
     def add_constant(self, a: int, const: int) -> int:
         c = self.create_variable(self.witness(a) + const)
+        self._tag("addc", a, const % self.f.p)
         self.custom_gate([a, 0, 0, 0, c], lc0=1, c=const, o=1)
         return c
 
     def mul_constant(self, a: int, const: int) -> int:
         c = self.create_variable(self.witness(a) * const)
+        self._tag("mulc", a, const % self.f.p)
         self.custom_gate([a, 0, 0, 0, c], lc0=const, o=1)
         return c
 
@@ -154,6 +201,7 @@ class PlonkCircuit:
         assert len(wires) == len(coeffs) <= 4
         val = sum(self.witness(w) * c for w, c in zip(wires, coeffs))
         out = self.create_variable(val)
+        self._tag("lc", tuple(wires), tuple(c % self.f.p for c in coeffs), 0)
         sels = {f"lc{i}": c for i, c in enumerate(coeffs)}
         self.custom_gate(list(wires) + [0] * (4 - len(wires)) + [out], o=1, **sels)
         return out
@@ -161,6 +209,7 @@ class PlonkCircuit:
     def lc_with_constant(self, wires, coeffs, const: int) -> int:
         val = sum(self.witness(w) * c for w, c in zip(wires, coeffs)) + const
         out = self.create_variable(val)
+        self._tag("lc", tuple(wires), tuple(c % self.f.p for c in coeffs), const % self.f.p)
         sels = {f"lc{i}": c for i, c in enumerate(coeffs)}
         self.custom_gate(list(wires) + [0] * (4 - len(wires)) + [out], o=1, c=const, **sels)
         return out
@@ -173,6 +222,7 @@ class PlonkCircuit:
             + q_muls[1] * self.witness(wires[2]) * self.witness(wires[3])
         )
         out = self.create_variable(val)
+        self._tag("muladd", tuple(wires), q_muls[0] % self.f.p, q_muls[1] % self.f.p)
         self.custom_gate(list(wires) + [out], mul0=q_muls[0], mul1=q_muls[1], o=1)
         return out
 
@@ -190,6 +240,7 @@ class PlonkCircuit:
 
     def power_5(self, a: int) -> int:
         out = self.create_variable(pow(self.witness(a), 5, self.f.p))
+        self._tag("pow5", a)
         self.custom_gate([a, 0, 0, 0, out], hash0=1, o=1)
         return out
 
@@ -212,6 +263,7 @@ class PlonkCircuit:
     # -- booleans & predicates ---------------------------------------------
     def logic_neg(self, a: int) -> int:
         out = self.create_variable(1 - self.witness(a))
+        self._tag("notv", a)
         self.custom_gate([a, 0, 0, 0, out], lc0=-1, c=1, o=1)
         return out
 
@@ -230,6 +282,7 @@ class PlonkCircuit:
         """out = a + b - a*b."""
         val = self.witness(a) + self.witness(b) - self.witness(a) * self.witness(b)
         out = self.create_variable(val)
+        self._tag("orv", a, b)
         self.custom_gate([a, b, 0, 0, out], lc0=1, lc1=1, mul0=-1, o=1)
         return out
 
@@ -243,7 +296,9 @@ class PlonkCircuit:
         inv_v = 0 if av == 0 else pow(av, -1, self.f.p)
         b_v = 1 if av == 0 else 0
         inv = self.create_variable(inv_v)
+        self._tag("inv0", a)
         b = self.create_variable(b_v)
+        self._tag("eqz", a)
         # a*inv + b - 1 == 0
         self.custom_gate([a, inv, b, 0, 0], mul0=1, lc2=1, c=-1)
         # a*b == 0
@@ -257,6 +312,7 @@ class PlonkCircuit:
         """out = x0 if b == 0 else x1 (b boolean)."""
         out_v = self.witness(x1) if self.witness(b) else self.witness(x0)
         out = self.create_variable(out_v)
+        self._tag("sel", b, x0, x1)
         # out = b*x1 - b*x0 + x0
         self.custom_gate([b, x1, b, x0, out], mul0=1, mul1=-1, lc3=1, o=1)
         return out
@@ -267,7 +323,11 @@ class PlonkCircuit:
         bit_len <= field bits - 1 so no wraparound ambiguity exists)."""
         assert bit_len < self.f.bit_len
         av = self.witness(a)
-        bits = [self.create_boolean_variable((av >> i) & 1) for i in range(bit_len)]
+        bits = []
+        for i in range(bit_len):
+            b = self.create_boolean_variable((av >> i) & 1)
+            self._tag("bit", a, i)
+            bits.append(b)
         acc = self.pack_bits(bits)
         self.enforce_equal(acc, a)
         return bits
@@ -291,7 +351,11 @@ class PlonkCircuit:
         by a hash-derived challenge; see gadgets/schnorr.py)."""
         assert bit_len >= self.f.bit_len
         av = self.witness(a)
-        bits = [self.create_boolean_variable((av >> i) & 1) for i in range(bit_len)]
+        bits = []
+        for i in range(bit_len):
+            b = self.create_boolean_variable((av >> i) & 1)
+            self._tag("bit", a, i)
+            bits.append(b)
         acc = self.pack_bits(bits)
         self.enforce_equal(acc, a)
         return bits
@@ -306,10 +370,12 @@ class PlonkCircuit:
         av = self.witness(a)
         in_range = av < (1 << bit_len)
         b = self.create_boolean_variable(in_range)
-        bits = [
-            self.create_boolean_variable((av >> i) & 1 if in_range else 0)
-            for i in range(bit_len)
-        ]
+        self._tag("ltp2", a, bit_len)
+        bits = []
+        for i in range(bit_len):
+            bv = self.create_boolean_variable((av >> i) & 1 if in_range else 0)
+            self._tag("bit_if", b, a, i)
+            bits.append(bv)
         acc = self.pack_bits(bits)
         # b * (acc - a) == 0
         diff = self.sub(acc, a)

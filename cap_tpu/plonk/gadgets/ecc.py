@@ -32,15 +32,12 @@ class PointVariable:
 
 
 def create_point_variable(c: PlonkCircuit, pt: TEPoint) -> PointVariable:
-    return PointVariable(c.create_variable(pt.x), c.create_variable(pt.y))
+    """Witness point: both coordinates are per-prove leaf inputs."""
+    return PointVariable(c.load(pt.x), c.load(pt.y))
 
 
 def create_constant_point_variable(c: PlonkCircuit, pt: TEPoint) -> PointVariable:
-    px = c.create_variable(pt.x)
-    c.enforce_constant(px, pt.x)
-    py = c.create_variable(pt.y)
-    c.enforce_constant(py, pt.y)
-    return PointVariable(px, py)
+    return PointVariable(c.constant(pt.x), c.constant(pt.y))
 
 
 def neutral_point_variable(c: PlonkCircuit) -> PointVariable:
@@ -53,8 +50,8 @@ def point_witness(c: PlonkCircuit, p: PointVariable) -> TEPoint:
 
 def ecc_add(c: PlonkCircuit, p1: PointVariable, p2: PointVariable) -> PointVariable:
     r = point_witness(c, p1).add(point_witness(c, p2))
-    x3 = c.create_variable(r.x)
-    y3 = c.create_variable(r.y)
+    x3 = c.hint(r.x, "teadd2", p1.x, p1.y, p2.x, p2.y)
+    y3 = c.hint(r.y, "skip")
     c.custom_gate([p1.x, p2.y, p2.x, p1.y, x3], mul0=1, mul1=1, ecc=-COEFF_D, o=1)
     c.custom_gate([p1.x, p2.x, p1.y, p2.y, y3], mul0=-COEFF_A, mul1=1, ecc=COEFF_D, o=1)
     return PointVariable(x3, y3)
@@ -81,7 +78,8 @@ def _select_or_neutral(c: PlonkCircuit, b: int, p: PointVariable) -> PointVariab
     """b ? p : neutral — 2 gates (x = b*px ; y = 1 + b*(py - 1))."""
     xv = c.mul(b, p.x)
     yv_val = 1 + c.witness(b) * (c.witness(p.y) - 1)
-    y = c.create_variable(yv_val)
+    # y = 1 - b + b*py  (aff2: c0 + c1*a + c2*a*b + c3*b with a=b, b=py)
+    y = c.hint(yv_val, "aff2", b, p.y, 1, c.f.p - 1, 1, 0)
     c.custom_gate([b, p.y, 0, 0, y], mul0=1, lc0=-1, c=1, o=1)
     return PointVariable(xv, y)
 

@@ -29,7 +29,7 @@ def create_enc_key_variable(c: PlonkCircuit, pk) -> ecc.PointVariable:
 
 def create_ciphertext_variable(c: PlonkCircuit, ct: ElGamalCiphertext) -> ElGamalHybridCtxtVars:
     eph = ecc.create_point_variable(c, ct.ephemeral)
-    symm = tuple(c.create_variable(v) for v in ct.symm_ctxts)
+    symm = tuple(c.load(v) for v in ct.symm_ctxts)
     return ElGamalHybridCtxtVars(eph, symm)
 
 

@@ -37,7 +37,7 @@ def create_acc_member_witness_var(
     c: PlonkCircuit, wit: AccMemberWitness, depth: int
 ) -> AccMemberWitnessVar:
     digits = base3_digits(wit.uid, depth)
-    uid_var = c.create_variable(wit.uid)
+    uid_var = c.load(wit.uid)
     nodes = []
     coeffs_acc = None
     # digit vars + uid consistency: uid == sum 3^i d_i
@@ -45,13 +45,11 @@ def create_acc_member_witness_var(
     for lvl in range(depth):
         node = wit.merkle_path.nodes[lvl]
         d = digits[lvl]
-        b0 = c.create_boolean_variable(d & 1)
-        b1 = c.create_boolean_variable((d >> 1) & 1)
+        b0 = c.load_bool(d & 1)
+        b1 = c.load_bool((d >> 1) & 1)
         c.custom_gate([b0, b1, 0, 0, 0], mul0=1)  # exclude digit 3
         nodes.append(
-            MerklePathNodeVar(
-                c.create_variable(node.sibling1), c.create_variable(node.sibling2), b0, b1
-            )
+            MerklePathNodeVar(c.load(node.sibling1), c.load(node.sibling2), b0, b1)
         )
         dvars.append((b0, b1))
     # uid = sum 3^i (b0_i + 2 b1_i)

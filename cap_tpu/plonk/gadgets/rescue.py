@@ -65,7 +65,7 @@ def rescue_permutation_gadget(c: PlonkCircuit, state):
     s = []
     for i in range(STATE_WIDTH):
         vi = wval(lambda i=i: (c.witness(state[i]) + pr.round_keys[0][i]) % p)
-        si = c.create_variable(vi)
+        si = c.hint(vi, "addc", state[i], pr.round_keys[0][i] % p)
         c.custom_gate([state[i], 0, 0, 0, si], lc0=1, c=pr.round_keys[0][i], o=1)
         s.append(si)
     for r in range(ROUNDS):
@@ -80,7 +80,7 @@ def rescue_permutation_gadget(c: PlonkCircuit, state):
             tv = wval(
                 lambda i=i: (sum(mds[i][j] * s5[j] for j in range(STATE_WIDTH)) + k1[i]) % p
             )
-            ti = c.create_variable(tv)
+            ti = c.hint(tv, "p5lc", tuple(s), tuple(mds[i]), k1[i] % p)
             c.custom_gate(
                 list(s) + [ti],
                 hash0=mds[i][0], hash1=mds[i][1], hash2=mds[i][2], hash3=mds[i][3],
@@ -91,7 +91,7 @@ def rescue_permutation_gadget(c: PlonkCircuit, state):
         u = []
         for j in range(STATE_WIDTH):
             uv = wval(lambda j=j: pow(c.witness(t[j]), pr.alpha_inv, p))
-            uj = c.create_variable(uv)
+            uj = c.hint(uv, "root5", t[j])
             c.custom_gate([uj, 0, 0, 0, t[j]], hash0=1, o=1)
             u.append(uj)
         # MDS + key injection
@@ -100,7 +100,7 @@ def rescue_permutation_gadget(c: PlonkCircuit, state):
             sv_ = wval(
                 lambda i=i: (sum(mds[i][j] * c.witness(u[j]) for j in range(STATE_WIDTH)) + k2[i]) % p
             )
-            si = c.create_variable(sv_)
+            si = c.hint(sv_, "lc", tuple(u), tuple(mds[i]), k2[i] % p)
             sels = {f"lc{j}": mds[i][j] for j in range(STATE_WIDTH)}
             c.custom_gate(list(u) + [si], o=1, c=k2[i], **sels)
             s.append(si)
@@ -108,13 +108,7 @@ def rescue_permutation_gadget(c: PlonkCircuit, state):
 
 
 def _constant_var(c: PlonkCircuit, v: int) -> int:
-    if v == 0:
-        return c.zero
-    if v == 1:
-        return c.one
-    var = c.create_variable(v)
-    c.enforce_constant(var, v)
-    return var
+    return c.constant(v)
 
 
 def rescue_sponge_no_padding_gadget(c: PlonkCircuit, inputs, num_outputs: int = 1):

@@ -29,7 +29,7 @@ class SignatureVar:
 
 
 def create_signature_variable(c: PlonkCircuit, sig: SchnorrSignature) -> SignatureVar:
-    return SignatureVar(ecc.create_point_variable(c, sig.sig_r), c.create_variable(sig.s))
+    return SignatureVar(ecc.create_point_variable(c, sig.sig_r), c.load(sig.s))
 
 
 def challenge_gadget(c: PlonkCircuit, vk: ecc.PointVariable, sig_r: ecc.PointVariable, msg_vars) -> int:

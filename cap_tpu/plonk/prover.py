@@ -69,7 +69,7 @@ _msm_windowed_many = jax.jit(
     lambda tab, coeffs: jax.vmap(lambda s: msm_mod.msm_windowed_device(tab, s))(coeffs)
 )
 
-_msm_signed_jit = jax.jit(msg_mod.msm_signed_batch_device)
+_msm_signed_jit = jax.jit(msg_mod.msm_signed_windows_device)
 
 
 def _window_table(srs, m: int):
@@ -114,7 +114,7 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
     mode = os.environ.get("CAP_MSM", "signed")
     if mode == "signed":
         res = commit_batch_device(srs, coeffs_plain_batch)
-        return msg_mod.points_from_batch_result(res)
+        return msg_mod.points_from_windows_result(res)
     if mode == "windowed":
         mp, tx, ty = _window_table(srs, m)
         padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, mp)
@@ -137,8 +137,9 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
 
 
 def commit_batch_device(srs, coeffs_plain_batch):
-    """Device half of the signed-window commit: returns [k, 3, 16]
-    projective points (no host transfer; composable into fused round jits)."""
+    """Device half of the signed-window commit: returns [k, 26, 3, 16]
+    per-window projective sums (no host transfer; the 26-step Horner runs
+    in host bigints — ~8 ms vs ~400 ms of sequential device launches)."""
     k, m, _ = coeffs_plain_batch.shape
     tab = signed_table(srs, m)
     padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, tab.shape[1])
