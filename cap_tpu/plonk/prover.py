@@ -20,7 +20,6 @@ from types import SimpleNamespace
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from cap_tpu.fields.host import FR, NLIMBS
 from cap_tpu.ops import field_jax as fj
@@ -199,9 +198,14 @@ def _kernels(n: int):
             dj = fj.add(fj.add(wire_evals[j], fj.mont_mul(beta, sigma_evals[j])), gam)
             num = fj.mont_mul(num, nj)
             den = fj.mont_mul(den, dj)
-        ratio = fj.mont_mul(num, fj.inv(den))
-        inc = lax.associative_scan(lambda a, b: fj.mont_mul(a, b), ratio, axis=0)
-        z_evals = jnp.concatenate([fj.one_mont((1,)), inc[:-1]], axis=0)
+        # z_k = prod_{i<k} num_i/den_i computed as prefix(num) * suffix(den)
+        # * inv(total): two shift-ladder sweeps + ONE scalar inversion,
+        # replacing a full-array Fermat pow + associative_scan
+        pnum = fj.prefix_prod(num)
+        sden = fj.suffix_prod(den)
+        total_inv = fj.inv(sden[:1])
+        z_main = fj.mont_mul(fj.mont_mul(pnum[:-1], sden[1:]), total_inv)
+        z_evals = jnp.concatenate([fj.one_mont((1,)), z_main], axis=0)
         zc = intt(z_evals, dom)
         zc = jnp.concatenate([zc, jnp.zeros((3, NLIMBS), jnp.uint32)], axis=0)
         b0, b1, b2 = blinds[0], blinds[1], blinds[2]
@@ -307,7 +311,7 @@ def _kernels(n: int):
         """(q(X) - q_eval) / (X - zeta) via 2n-point evaluation division."""
         m2 = 2 * n
         q8 = ntt(_pad(q_poly, m2), dom2)
-        invd = fj.inv(fj.sub(x2n, zeta_m[None, :]))
+        invd = fj.batch_inv_nonzero(fj.sub(x2n, zeta_m[None, :]))
         w_evals = fj.mont_mul(fj.sub(q8, q_eval[None, :]), invd)
         wc = intt(w_evals, dom2)
         wc = wc[: n + 2]
@@ -456,8 +460,13 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
         transcript.append_bytes(b"ext", ext_msg)
 
     # round 1 — wire polynomials: upload the witness once (uint16 limbs),
-    # gather + Montgomery-convert on device
-    wit_u16 = jnp.asarray(ints_to_limbs(witness_values).astype(np.uint16))
+    # gather + Montgomery-convert on device.  witness_values is either a
+    # list of ints or a pre-packed (n_vars, 16) u16 limb array from the
+    # native tape replayer (proof/tape_cache.py).
+    if isinstance(witness_values, np.ndarray):
+        wit_u16 = jnp.asarray(witness_values.astype(np.uint16, copy=False))
+    else:
+        wit_u16 = jnp.asarray(ints_to_limbs(witness_values).astype(np.uint16))
     wire_idx = getattr(pk, "wire_index_dev", None)
     if wire_idx is None:
         wire_idx = jnp.asarray(np.asarray(pk.wire_index, dtype=np.int32))

@@ -133,3 +133,110 @@ def replay(tape, inputs, p: int = FR.p) -> list:
 def count_raw(tape) -> int:
     """Number of untagged vars (must be 0 for a replayable circuit)."""
     return sum(1 for op in tape if op[0] == "raw")
+
+
+# ---------------------------------------------------------------------------
+# native bytecode compilation (cap_native.cpp cap_tape_replay)
+# ---------------------------------------------------------------------------
+
+_OPC = {
+    "const": 0, "load": 1, "add": 2, "sub": 3, "mul": 4, "addc": 5,
+    "mulc": 6, "lc": 7, "muladd": 8, "pow5": 9, "root5": 10, "p5lc": 11,
+    "notv": 12, "orv": 13, "inv0": 14, "eqz": 15, "sel": 16, "bit": 17,
+    "ltp2": 18, "bit_if": 19, "aff2": 20, "teadd2": 21, "skip": 22,
+}
+
+
+class CompiledTape:
+    """Per-shape tape lowered to the native replayer's u32 bytecode.
+
+    `code` is the instruction stream, `consts` the deduplicated Montgomery
+    constant pool (u64 x4 LE limbs per entry), `n_vars`/`n_loads` the
+    witness/input vector sizes.  Falls back to the Python `replay` when the
+    native library is unavailable.
+    """
+
+    def __init__(self, tape, num_loads: int):
+        import numpy as np
+
+        p = FR.p
+        r256 = (1 << 256) % p
+        pool: dict[int, int] = {}
+        code: list[int] = []
+
+        def cidx(v: int) -> int:
+            v = v % p
+            k = pool.get(v)
+            if k is None:
+                k = pool[v] = len(pool)
+            return k
+
+        for op in tape:
+            tag = op[0]
+            oc = _OPC[tag]
+            code.append(oc)
+            if tag in ("const",):
+                code.append(cidx(op[1]))
+            elif tag == "load":
+                code.append(op[1])
+            elif tag in ("add", "sub", "mul", "orv"):
+                code += [op[1], op[2]]
+            elif tag in ("addc", "mulc"):
+                code += [op[1], cidx(op[2])]
+            elif tag in ("lc", "p5lc"):
+                ws, cs, c0 = op[1], op[2], op[3]
+                code.append(len(ws))
+                for v, cf in zip(ws, cs):
+                    code += [v, cidx(cf)]
+                code.append(cidx(c0))
+            elif tag == "muladd":
+                ws = op[1]
+                code += [ws[0], ws[1], ws[2], ws[3], cidx(op[2]), cidx(op[3])]
+            elif tag in ("pow5", "root5", "notv", "inv0", "eqz"):
+                code.append(op[1])
+            elif tag == "sel":
+                code += [op[1], op[2], op[3]]
+            elif tag in ("bit", "ltp2"):
+                code += [op[1], op[2]]
+            elif tag == "bit_if":
+                code += [op[1], op[2], op[3]]
+            elif tag == "aff2":
+                code += [op[1], op[2], cidx(op[3]), cidx(op[4]), cidx(op[5]), cidx(op[6])]
+            elif tag == "teadd2":
+                code += [op[1], op[2], op[3], op[4]]
+            elif tag == "skip":
+                pass
+            elif tag == "raw":
+                raise ValueError("cannot compile a tape with raw (untagged) vars")
+            else:
+                raise ValueError(f"unknown tape op {tag!r}")
+
+        self.code = np.asarray(code, dtype=np.uint32)
+        cp = np.zeros((max(len(pool), 1), 4), dtype=np.uint64)
+        mask = 0xFFFFFFFFFFFFFFFF
+        for v, k in pool.items():
+            m = v * r256 % p
+            for j in range(4):
+                cp[k, j] = (m >> (64 * j)) & mask
+        self.consts = cp
+        self.n_vars = len(tape)
+        self.n_loads = num_loads
+        self.tape = tape  # Python fallback
+
+    def replay_limbs(self, inputs):
+        """Witness vector as a plain-form u64[n_vars,4] array (native), or
+        None when the native library is unavailable."""
+        from cap_tpu.utils import native
+
+        return native.tape_replay(self.code, self.consts, inputs, self.n_vars)
+
+    def replay(self, inputs) -> list:
+        """Witness vector as Python ints (native if available)."""
+        out = self.replay_limbs(inputs)
+        if out is None:
+            return replay(self.tape, [v % FR.p for v in inputs])
+        return [
+            int(out[i, 0]) | int(out[i, 1]) << 64 | int(out[i, 2]) << 128
+            | int(out[i, 3]) << 192
+            for i in range(self.n_vars)
+        ]

@@ -162,22 +162,31 @@ def prove(rng, proving_key: FreezeProvingKey, witness: FreezeWitness,
     for ri, ro in zip(witness.input_ros[1:], witness.output_ros[1:]):
         if ri.freeze_flag + ro.freeze_flag != 1:
             raise InvalidParameterError("freeze output flags must be flipped")
-    circuit = build_freeze_circuit(
-        witness, pub_input, proving_key.n_inputs, proving_key.tree_depth
-    )
-    pubs = [v % FR.p for v in pub_input.to_scalars()]
-    if circuit.public_input() != pubs:
-        raise FailedConstraintSystemError("public input mismatch with circuit")
     import os
 
-    if os.environ.get("CAP_PROVE_SAT_CHECK", "0") == "1" and not (
-        circuit.check_circuit_satisfiability(pubs)
-    ):
-        raise FailedConstraintSystemError("freeze circuit not satisfied")
-    # default: rely on the prover's device-side quotient-tail check, which
-    # rejects unsatisfiable witnesses without the Python row sweep
+    from cap_tpu.circuits.freeze import extract_inputs
+    from cap_tpu.proof import tape_cache
+
+    n_in, depth = proving_key.n_inputs, proving_key.tree_depth
+    pubs = [v % FR.p for v in pub_input.to_scalars()]
+    if os.environ.get("CAP_PROVE_SAT_CHECK", "0") == "1":
+        circuit = build_freeze_circuit(witness, pub_input, n_in, depth)
+        if circuit.public_input() != pubs:
+            raise FailedConstraintSystemError("public input mismatch with circuit")
+        if not circuit.check_circuit_satisfiability(pubs):
+            raise FailedConstraintSystemError("freeze circuit not satisfied")
+        wvals = circuit.witness_values
+    else:
+        # default: tape replay; the prover's device-side quotient-tail check
+        # rejects unsatisfiable witnesses without the Python row sweep
+        wvals = tape_cache.witness_via_tape(
+            ("freeze", n_in, depth),
+            lambda: build_freeze_circuit(witness, pub_input, n_in, depth),
+            lambda: extract_inputs(witness, pub_input, n_in, depth),
+            pubs,
+        )
     return plonk_prover.prove(
-        rng, proving_key.plonk_pk, circuit.witness_values, pubs,
+        rng, proving_key.plonk_pk, wvals, pubs,
         ext_msg=te_point_to_bytes(txn_memo_ver_key),
     )
 

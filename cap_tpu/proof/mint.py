@@ -172,20 +172,31 @@ def _ext_msg(txn_memo_ver_key) -> bytes:
 def prove(rng, proving_key: MintProvingKey, witness: MintWitness,
           pub_input: MintPublicInput, txn_memo_ver_key) -> PlonkProof:
     """(reference proof/mint.rs:97-120)"""
-    circuit = build_mint_circuit(witness, pub_input, proving_key.tree_depth)
-    pubs = pub_input.to_scalars()
-    if circuit.public_input() != [v % FR.p for v in pubs]:
-        raise FailedConstraintSystemError("public input mismatch with circuit")
     import os
 
-    if os.environ.get("CAP_PROVE_SAT_CHECK", "0") == "1" and not (
-        circuit.check_circuit_satisfiability(pubs)
-    ):
-        raise FailedConstraintSystemError("mint circuit not satisfied")
-    # default: rely on the prover's device-side quotient-tail check, which
-    # rejects unsatisfiable witnesses without the Python row sweep
+    from cap_tpu.circuits.mint import extract_inputs
+    from cap_tpu.proof import tape_cache
+
+    depth = proving_key.tree_depth
+    pubs = [v % FR.p for v in pub_input.to_scalars()]
+    if os.environ.get("CAP_PROVE_SAT_CHECK", "0") == "1":
+        circuit = build_mint_circuit(witness, pub_input, depth)
+        if circuit.public_input() != pubs:
+            raise FailedConstraintSystemError("public input mismatch with circuit")
+        if not circuit.check_circuit_satisfiability(pubs):
+            raise FailedConstraintSystemError("mint circuit not satisfied")
+        wvals = circuit.witness_values
+    else:
+        # default: tape replay; the prover's device-side quotient-tail check
+        # rejects unsatisfiable witnesses without the Python row sweep
+        wvals = tape_cache.witness_via_tape(
+            ("mint", depth),
+            lambda: build_mint_circuit(witness, pub_input, depth),
+            lambda: extract_inputs(witness, pub_input, depth),
+            pubs,
+        )
     return plonk_prover.prove(
-        rng, proving_key.plonk_pk, circuit.witness_values, pubs,
+        rng, proving_key.plonk_pk, wvals, pubs,
         ext_msg=_ext_msg(txn_memo_ver_key),
     )
 

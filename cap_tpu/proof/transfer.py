@@ -175,23 +175,32 @@ def prove(rng, proving_key: TransferProvingKey, witness: TransferWitness,
           pub_input: TransferPublicInput, txn_memo_ver_key,
           extra_proof_bound_data: bytes = b"") -> PlonkProof:
     """(reference proof/transfer.rs:159-188)"""
-    circuit = build_transfer_circuit(
-        witness, pub_input,
-        proving_key.n_inputs, proving_key.n_outputs, proving_key.tree_depth,
-    )
-    pubs = [v % FR.p for v in pub_input.to_scalars()]
-    if circuit.public_input() != pubs:
-        raise FailedConstraintSystemError("public input mismatch with circuit")
     import os
 
-    if os.environ.get("CAP_PROVE_SAT_CHECK", "0") == "1" and not (
-        circuit.check_circuit_satisfiability(pubs)
-    ):
-        raise FailedConstraintSystemError("transfer circuit not satisfied")
-    # default: rely on the prover's device-side quotient-tail check, which
-    # rejects unsatisfiable witnesses without the Python row sweep
+    from cap_tpu.circuits.transfer import extract_inputs
+    from cap_tpu.proof import tape_cache
+
+    shape = (proving_key.n_inputs, proving_key.n_outputs, proving_key.tree_depth)
+    pubs = [v % FR.p for v in pub_input.to_scalars()]
+    if os.environ.get("CAP_PROVE_SAT_CHECK", "0") == "1":
+        circuit = build_transfer_circuit(witness, pub_input, *shape)
+        if circuit.public_input() != pubs:
+            raise FailedConstraintSystemError("public input mismatch with circuit")
+        if not circuit.check_circuit_satisfiability(pubs):
+            raise FailedConstraintSystemError("transfer circuit not satisfied")
+        wvals = circuit.witness_values
+    else:
+        # default: witness via tape replay (record-once per shape); the
+        # prover's device-side quotient-tail check rejects unsatisfiable
+        # witnesses without the Python row sweep
+        wvals = tape_cache.witness_via_tape(
+            ("transfer", *shape),
+            lambda: build_transfer_circuit(witness, pub_input, *shape),
+            lambda: extract_inputs(witness, pub_input, *shape),
+            pubs,
+        )
     return plonk_prover.prove(
-        rng, proving_key.plonk_pk, circuit.witness_values, pubs,
+        rng, proving_key.plonk_pk, wvals, pubs,
         ext_msg=_ext_msg(txn_memo_ver_key, extra_proof_bound_data),
     )
 

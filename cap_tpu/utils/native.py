@@ -183,6 +183,43 @@ def rescue_trace(state4):
     return _unpack_fr_mont(out, 148)
 
 
+def tape_replay(code, consts, inputs, n_vars: int):
+    """Run the native witness-tape replayer (cap_tape_replay).
+
+    code: np.uint32 bytecode; consts: np.uint64 [nc,4] Montgomery pool;
+    inputs: list of ints (plain form).  Returns plain-form np.uint64
+    [n_vars,4] limbs, or None if the native library is unavailable.
+    Raises on a malformed tape (native rc != 0).
+    """
+    if not HAVE_NATIVE:
+        return None
+    import numpy as np
+
+    p = FR.p
+    mask = 0xFFFFFFFFFFFFFFFF
+    inp = np.zeros((max(len(inputs), 1), 4), dtype=np.uint64)
+    for i, v in enumerate(inputs):
+        v %= p
+        inp[i, 0] = v & mask
+        inp[i, 1] = (v >> 64) & mask
+        inp[i, 2] = (v >> 128) & mask
+        inp[i, 3] = (v >> 192) & mask
+    out = np.empty((n_vars, 4), dtype=np.uint64)
+    code = np.ascontiguousarray(code, dtype=np.uint32)
+    consts = np.ascontiguousarray(consts, dtype=np.uint64)
+    rc = _lib.cap_tape_replay(
+        code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.c_long(len(code)),
+        consts.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        inp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_long(n_vars),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"cap_tape_replay failed (rc={rc})")
+    return out
+
+
 def keccak_f1600(state25: list) -> list | None:
     if not HAVE_NATIVE:
         return None

@@ -108,6 +108,72 @@ static void f_mul(const Field& F, const u64* a, const u64* b, u64* out) {
     if (t[4] || geq(out, F.p)) sub_p(out, F.p);
 }
 
+static inline void shr1(u64* a) {
+    a[0] = (a[0] >> 1) | (a[1] << 63);
+    a[1] = (a[1] >> 1) | (a[2] << 63);
+    a[2] = (a[2] >> 1) | (a[3] << 63);
+    a[3] >>= 1;
+}
+
+static inline void add_nored(u64* a, const u64* b, u64* carry_out) {
+    u128 carry = 0;
+    for (int i = 0; i < 4; ++i) {
+        u128 s = (u128)a[i] + b[i] + carry;
+        a[i] = (u64)s;
+        carry = s >> 64;
+    }
+    *carry_out = (u64)carry;
+}
+
+// Binary extended-GCD modular inverse (plain form in/out; a must be != 0).
+// ~5x faster than Fermat for a single 254-bit inversion.
+static void f_inv_plain(const Field& F, const u64* a, u64* out) {
+    u64 u[4], v[4], x1[4] = {1, 0, 0, 0}, x2[4] = {0, 0, 0, 0};
+    memcpy(u, a, 32);
+    memcpy(v, F.p, 32);
+    auto is_one = [](const u64* t) { return t[0] == 1 && !t[1] && !t[2] && !t[3]; };
+    auto halve_mod = [&F](u64* x) {
+        if (x[0] & 1) {
+            u64 c;
+            add_nored(x, F.p, &c);
+            shr1(x);
+            x[3] |= c << 63;
+        } else {
+            shr1(x);
+        }
+    };
+    while (!is_one(u) && !is_one(v)) {
+        while (!(u[0] & 1)) { shr1(u); halve_mod(x1); }
+        while (!(v[0] & 1)) { shr1(v); halve_mod(x2); }
+        if (geq(u, v)) {
+            u128 borrow = 0;
+            for (int i = 0; i < 4; ++i) {
+                u128 d = (u128)u[i] - v[i] - borrow;
+                u[i] = (u64)d;
+                borrow = (d >> 64) ? 1 : 0;
+            }
+            f_sub(F, x1, x2, x1);
+        } else {
+            u128 borrow = 0;
+            for (int i = 0; i < 4; ++i) {
+                u128 d = (u128)v[i] - u[i] - borrow;
+                v[i] = (u64)d;
+                borrow = (d >> 64) ? 1 : 0;
+            }
+            f_sub(F, x2, x1, x2);
+        }
+    }
+    memcpy(out, is_one(u) ? x1 : x2, 32);
+}
+
+// Inverse in Montgomery form: in aR -> out a^{-1}R.
+static void f_inv_mont(const Field& F, const u64* a, u64* out) {
+    u64 t[4];
+    f_inv_plain(F, a, t);          // (aR)^{-1} = a^{-1} R^{-1}  (plain)
+    f_mul(F, t, F.r2, t);          // a^{-1} (plain)
+    f_mul(F, t, F.r2, out);        // a^{-1} R  (Montgomery)
+}
+
 static void f_pow(const Field& F, const u64* base, const u64* e, u64* out) {
     u64 acc[4], b[4];
     memcpy(acc, F.one, 32);
@@ -262,7 +328,7 @@ static void te_add(const TEP* p, const TEP* q, TEP* out) {
 
 static void te_normalize(const TEP* p, u64* out_xy) {
     u64 zi[4];
-    f_pow(g_fr, p->z, g_fr_pm2, zi);
+    f_inv_mont(g_fr, p->z, zi);
     f_mul(g_fr, p->x, zi, out_xy);
     f_mul(g_fr, p->y, zi, out_xy + 4);
 }
@@ -399,6 +465,200 @@ void cap_g1_msm(const u64* pts, const u64* scalars, int n, u64* out) {
         jac_add(&acc, (const Jac*)tmp, &acc);
     }
     memcpy(out, &acc, sizeof(Jac));
+}
+
+// ---------------------------------------------------------------------------
+// Witness-tape replayer
+//
+// Replays the per-shape witness tape recorded by plonk/circuit.py (compiled
+// to a u32 bytecode by plonk/tape.py compile_tape) so that per-prove witness
+// generation runs at native speed instead of interpreted Python.  The
+// reference re-synthesizes its circuit in compiled Rust per prove
+// (src/proof/transfer.rs:159-188); this is the TPU build's equivalent.
+//
+// Bytecode: a stream of u32 words, one instruction per witness variable, in
+// variable order.  Field values flow in Montgomery form; `inputs` arrive in
+// plain form and the output witness is written back in plain form as 4x u64
+// little-endian limbs per variable (bit-compatible with the prover's
+// 16x u16 limb view).
+// ---------------------------------------------------------------------------
+
+enum TapeOp : uint32_t {
+    T_CONST = 0, T_LOAD = 1, T_ADD = 2, T_SUB = 3, T_MUL = 4,
+    T_ADDC = 5, T_MULC = 6, T_LC = 7, T_MULADD = 8, T_POW5 = 9,
+    T_ROOT5 = 10, T_P5LC = 11, T_NOTV = 12, T_ORV = 13, T_INV0 = 14,
+    T_EQZ = 15, T_SEL = 16, T_BIT = 17, T_LTP2 = 18, T_BITIF = 19,
+    T_AFF2 = 20, T_TEADD2 = 21, T_SKIP = 22,
+};
+
+typedef uint32_t u32;
+
+static inline void to_plain(const u64* mont, u64* plain) {
+    // Montgomery reduce: mul by plain 1
+    u64 one_plain[4] = {1, 0, 0, 0};
+    f_mul(g_fr, mont, one_plain, plain);
+}
+
+// returns 0 on success; -1 unknown op; -2 instruction count != n_vars
+int cap_tape_replay(const u32* code, long ncode, const u64* consts,
+                    const u64* inputs, long n_vars, u64* out) {
+    u64* w = new u64[(size_t)n_vars * 4];
+    long pc = 0, v = 0;
+    int rc = 0;
+    while (pc < ncode && v < n_vars) {
+        u64* wv = w + 4 * v;
+        switch (code[pc]) {
+        case T_CONST: memcpy(wv, consts + 4 * code[pc + 1], 32); pc += 2; break;
+        case T_LOAD: {
+            // convert plain input to Montgomery
+            f_mul(g_fr, inputs + 4 * code[pc + 1], g_fr.r2, wv);
+            pc += 2; break;
+        }
+        case T_ADD: f_add(g_fr, w + 4 * code[pc + 1], w + 4 * code[pc + 2], wv); pc += 3; break;
+        case T_SUB: f_sub(g_fr, w + 4 * code[pc + 1], w + 4 * code[pc + 2], wv); pc += 3; break;
+        case T_MUL: f_mul(g_fr, w + 4 * code[pc + 1], w + 4 * code[pc + 2], wv); pc += 3; break;
+        case T_ADDC: f_add(g_fr, w + 4 * code[pc + 1], consts + 4 * code[pc + 2], wv); pc += 3; break;
+        case T_MULC: f_mul(g_fr, w + 4 * code[pc + 1], consts + 4 * code[pc + 2], wv); pc += 3; break;
+        case T_LC: {
+            u32 n = code[pc + 1];
+            u64 acc[4], t[4];
+            memcpy(acc, consts + 4 * code[pc + 2 + 2 * n], 32);
+            for (u32 k = 0; k < n; ++k) {
+                f_mul(g_fr, w + 4 * code[pc + 2 + 2 * k], consts + 4 * code[pc + 3 + 2 * k], t);
+                f_add(g_fr, acc, t, acc);
+            }
+            memcpy(wv, acc, 32);
+            pc += 3 + 2 * n; break;
+        }
+        case T_MULADD: {
+            u64 t1[4], t2[4];
+            f_mul(g_fr, w + 4 * code[pc + 1], w + 4 * code[pc + 2], t1);
+            f_mul(g_fr, t1, consts + 4 * code[pc + 5], t1);
+            f_mul(g_fr, w + 4 * code[pc + 3], w + 4 * code[pc + 4], t2);
+            f_mul(g_fr, t2, consts + 4 * code[pc + 6], t2);
+            f_add(g_fr, t1, t2, wv);
+            pc += 7; break;
+        }
+        case T_POW5: sbox5(w + 4 * code[pc + 1], wv); pc += 2; break;
+        case T_ROOT5: f_pow(g_fr, w + 4 * code[pc + 1], g_alpha_inv, wv); pc += 2; break;
+        case T_P5LC: {
+            u32 n = code[pc + 1];
+            u64 acc[4], t[4];
+            memcpy(acc, consts + 4 * code[pc + 2 + 2 * n], 32);
+            for (u32 k = 0; k < n; ++k) {
+                sbox5(w + 4 * code[pc + 2 + 2 * k], t);
+                f_mul(g_fr, t, consts + 4 * code[pc + 3 + 2 * k], t);
+                f_add(g_fr, acc, t, acc);
+            }
+            memcpy(wv, acc, 32);
+            pc += 3 + 2 * n; break;
+        }
+        case T_NOTV: f_sub(g_fr, g_fr.one, w + 4 * code[pc + 1], wv); pc += 2; break;
+        case T_ORV: {
+            u64 t[4];
+            const u64* a = w + 4 * code[pc + 1];
+            const u64* b = w + 4 * code[pc + 2];
+            f_mul(g_fr, a, b, t);
+            f_add(g_fr, a, b, wv);
+            f_sub(g_fr, wv, t, wv);
+            pc += 3; break;
+        }
+        case T_INV0: {
+            const u64* a = w + 4 * code[pc + 1];
+            if (a[0] == 0 && a[1] == 0 && a[2] == 0 && a[3] == 0) memset(wv, 0, 32);
+            else f_inv_mont(g_fr, a, wv);
+            pc += 2; break;
+        }
+        case T_EQZ: {
+            const u64* a = w + 4 * code[pc + 1];
+            if (a[0] == 0 && a[1] == 0 && a[2] == 0 && a[3] == 0) memcpy(wv, g_fr.one, 32);
+            else memset(wv, 0, 32);
+            pc += 2; break;
+        }
+        case T_SEL: {
+            const u64* b = w + 4 * code[pc + 1];
+            int truthy = !(b[0] == 0 && b[1] == 0 && b[2] == 0 && b[3] == 0);
+            memcpy(wv, w + 4 * code[pc + (truthy ? 3 : 2)], 32);
+            pc += 4; break;
+        }
+        case T_BIT: {
+            u64 plain[4];
+            to_plain(w + 4 * code[pc + 1], plain);
+            u32 i = code[pc + 2];
+            u64 bit = (plain[i >> 6] >> (i & 63)) & 1;
+            if (bit) memcpy(wv, g_fr.one, 32); else memset(wv, 0, 32);
+            pc += 3; break;
+        }
+        case T_LTP2: {
+            u64 plain[4];
+            to_plain(w + 4 * code[pc + 1], plain);
+            u32 nb = code[pc + 2];
+            int lt = 1;
+            for (int i = 0; i < 4; ++i) {
+                u64 limb = plain[i];
+                int base = 64 * i;
+                if (base >= (int)nb) { if (limb) { lt = 0; break; } }
+                else if (base + 64 > (int)nb) {
+                    if (limb >> (nb - base)) { lt = 0; break; }
+                }
+            }
+            if (lt) memcpy(wv, g_fr.one, 32); else memset(wv, 0, 32);
+            pc += 3; break;
+        }
+        case T_BITIF: {
+            const u64* b = w + 4 * code[pc + 1];
+            int truthy = !(b[0] == 0 && b[1] == 0 && b[2] == 0 && b[3] == 0);
+            if (!truthy) memset(wv, 0, 32);
+            else {
+                u64 plain[4];
+                to_plain(w + 4 * code[pc + 2], plain);
+                u32 i = code[pc + 3];
+                u64 bit = (plain[i >> 6] >> (i & 63)) & 1;
+                if (bit) memcpy(wv, g_fr.one, 32); else memset(wv, 0, 32);
+            }
+            pc += 4; break;
+        }
+        case T_AFF2: {
+            const u64* a = w + 4 * code[pc + 1];
+            const u64* b = w + 4 * code[pc + 2];
+            u64 acc[4], t[4];
+            memcpy(acc, consts + 4 * code[pc + 3], 32);
+            f_mul(g_fr, consts + 4 * code[pc + 4], a, t);
+            f_add(g_fr, acc, t, acc);
+            f_mul(g_fr, a, b, t);
+            f_mul(g_fr, t, consts + 4 * code[pc + 5], t);
+            f_add(g_fr, acc, t, acc);
+            f_mul(g_fr, consts + 4 * code[pc + 6], b, t);
+            f_add(g_fr, acc, t, wv);
+            pc += 7; break;
+        }
+        case T_TEADD2: {
+            TEP a, b, r;
+            memcpy(a.x, w + 4 * code[pc + 1], 32);
+            memcpy(a.y, w + 4 * code[pc + 2], 32);
+            memcpy(a.z, g_fr.one, 32);
+            memcpy(b.x, w + 4 * code[pc + 3], 32);
+            memcpy(b.y, w + 4 * code[pc + 4], 32);
+            memcpy(b.z, g_fr.one, 32);
+            te_add(&a, &b, &r);
+            u64 xy[8];
+            te_normalize(&r, xy);
+            memcpy(wv, xy, 32);
+            if (v + 1 < n_vars) memcpy(wv + 4, xy + 4, 32);
+            pc += 5; break;
+        }
+        case T_SKIP: pc += 1; break;
+        default: rc = -1; goto done;
+        }
+        ++v;
+    }
+    if (rc == 0 && (v != n_vars || pc != ncode)) rc = -2;
+    // convert to plain form
+    if (rc == 0)
+        for (long i = 0; i < n_vars; ++i) to_plain(w + 4 * i, out + 4 * i);
+done:
+    delete[] w;
+    return rc;
 }
 
 // ---------------------------------------------------------------------------
