@@ -1,11 +1,14 @@
 """Multi-party integration scenarios on the mock ledger (examples.rs twin).
 
-The SNARK layer is mocked (prove returns a placeholder, verify accepts) so
-the scenarios run on CPU in seconds while still exercising every other
-layer for real: witness/public-input assembly, host validation pipelines,
-circuit synthesis + satisfiability, memos, wallets, viewers, freezers,
-validators, blocks, nullifier sets and fee collection.  Real-proof e2e runs
-on TPU via scripts/run_e2e_tpu.py and the bench harness.
+The KZG/polynomial SNARK back-end is mocked (prove returns a placeholder
+proof, verify accepts) so the scenarios run on CPU in seconds — but every
+prove still builds the real circuit and REQUIRES witness satisfiability
+(CAP_PROVE_SAT_CHECK=1 is forced in the fixture): an invalid witness fails
+these tests.  Everything above the SNARK runs for real: witness and
+public-input assembly, host validation pipelines, circuit synthesis +
+satisfiability, memos, wallets, viewers, freezers, validators, blocks,
+nullifier sets and fee collection.  Real-proof e2e runs on TPU via
+scripts/run_e2e_tpu.py, tests/test_e2e_slow.py and the bench harness.
 """
 
 import pytest
@@ -49,7 +52,13 @@ DEPTH = 5
 
 @pytest.fixture(autouse=True)
 def mock_snark(monkeypatch):
-    """Replace the SNARK with satisfiability-only checking."""
+    """Replace the SNARK with satisfiability-only checking.
+
+    CAP_PROVE_SAT_CHECK=1 routes each proof/*.prove call through the full
+    circuit build + check_circuit_satisfiability (the SNARK itself is then
+    replaced by a placeholder).  A wrong witness or public input makes the
+    underlying prove raise FailedConstraintSystemError."""
+    monkeypatch.setenv("CAP_PROVE_SAT_CHECK", "1")
     from cap_tpu.crypto.bn254 import G1_GEN
     from cap_tpu.plonk.structs import PlonkProof
 
@@ -223,6 +232,181 @@ def test_full_lifecycle_mint_transfer_freeze():
 
     # total collected fees
     assert calculate_fee([tn_mint, tn_tr, tn_fz]) == 4
+
+
+def test_freeze_unfreeze_roundtrip():
+    """examples.rs:1654+ freeze->unfreeze: a frozen record is unfrozen by the
+    freezer and then spent by its owner (spendability proven by the real
+    satisfiability check in the fixture)."""
+    rng, keys, ledger, validator = _setup_world()
+    owner = UserKeyPair.generate(rng)
+    recipient = UserKeyPair.generate(rng)
+    freezer = FreezerKeyPair.generate(rng)
+    viewer = ViewerKeyPair.generate(rng)
+    fee_payer = UserKeyPair.generate(rng)
+    fee_collector = UserKeyPair.generate(rng)
+
+    policy = (
+        AssetPolicy()
+        .set_viewer_pub_key(viewer.pub_key())
+        .reveal_record_opening()
+        .set_freezer_pub_key(freezer.pub_key())
+    )
+    issuer = AssetIssuerMock(rng, b"freezable asset", policy)
+
+    target_ro = RecordOpening.new(rng, 77, issuer.asset_def, owner.pub_key())
+    uid_target = ledger.insert_record(RecordCommitment.from_ro(target_ro))
+    fee_ros = [
+        RecordOpening.new(rng, 10, AssetDefinition.native(), fee_payer.pub_key())
+        for _ in range(2)
+    ]
+    fee_uids = [ledger.insert_record(RecordCommitment.from_ro(r)) for r in fee_ros]
+    owner_fee_ro = RecordOpening.new(rng, 10, AssetDefinition.native(), owner.pub_key())
+    uid_owner_fee = ledger.insert_record(RecordCommitment.from_ro(owner_fee_ro))
+
+    def fee_info_for(i):
+        fi = FeeInput(
+            fee_ros[i],
+            AccMemberWitness.lookup_from_tree(ledger.tree, fee_uids[i]),
+            fee_payer,
+        )
+        info, _ = TxnFeeInfo.new(rng, fi, 1)
+        return info
+
+    # -- freeze ---------------------------------------------------------------
+    fz_in = FreezeNoteInput(
+        ro=target_ro,
+        acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, uid_target),
+        keypair=freezer,
+    )
+    fz_note, _, fz_outs = FreezeNote.generate(rng, [fz_in], fee_info_for(0), keys.freeze_pk)
+    validator.validate_and_apply_block(
+        rng, [TransactionNote.freeze(fz_note)], fee_collector.pub_key()
+    )
+    assert fz_outs[0].freeze_flag == 1
+    frozen_ro = fz_outs[0]
+    # block appended [fee_chg, frozen, fee_record]
+    uid_frozen = ledger.tree.num_leaves - 2
+
+    # -- unfreeze: same flow with the frozen record as input ------------------
+    unfz_in = FreezeNoteInput(
+        ro=frozen_ro,
+        acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, uid_frozen),
+        keypair=freezer,
+    )
+    unfz_note, _, unfz_outs = FreezeNote.generate(
+        rng, [unfz_in], fee_info_for(1), keys.freeze_pk
+    )
+    validator.validate_and_apply_block(
+        rng, [TransactionNote.freeze(unfz_note)], fee_collector.pub_key()
+    )
+    assert unfz_outs[0].freeze_flag == 0
+    unfrozen_ro = unfz_outs[0]
+    uid_unfrozen = ledger.tree.num_leaves - 2
+
+    # -- the owner can now spend the unfrozen record --------------------------
+    fi = FeeInput(
+        owner_fee_ro,
+        AccMemberWitness.lookup_from_tree(ledger.tree, uid_owner_fee),
+        owner,
+    )
+    spend_fee_info, _ = TxnFeeInfo.new(rng, fi, 1)
+    t_inputs = [
+        TransferNoteInput(
+            ro=unfrozen_ro,
+            acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, uid_unfrozen),
+            owner_keypair=owner,
+        )
+    ]
+    out_ro = RecordOpening.new(rng, 77, issuer.asset_def, recipient.pub_key())
+    t_note, _ = TransferNote.generate_non_native(
+        rng, t_inputs, [out_ro], spend_fee_info, valid_until=5,
+        proving_key=keys.transfer_pk,
+    )
+    validator.validate_and_apply_block(
+        rng, [TransactionNote.transfer(t_note)], fee_collector.pub_key()
+    )
+    assert not ledger.check_nullifier_unspent(t_note.inputs_nullifiers[1])
+
+
+def test_viewed_credential_transfer():
+    """examples.rs viewed+credential scenario: a policy demanding identity
+    credentials and full disclosure; the viewer recovers the sender's
+    attributes, addresses and amounts from the viewing memo."""
+    from cap_tpu.keys import CredIssuerKeyPair
+    from cap_tpu.structs import ExpirableCredential, IdentityAttribute
+    from cap_tpu.constants import ATTRS_LEN
+
+    rng, keys, ledger, validator = _setup_world()
+    cred_issuer = CredIssuerKeyPair.generate(rng)
+    viewer = ViewerKeyPair.generate(rng)
+    sender = UserKeyPair.generate(rng)
+    recv = UserKeyPair.generate(rng)
+    fee_collector = UserKeyPair.generate(rng)
+
+    policy = (
+        AssetPolicy()
+        .set_viewer_pub_key(viewer.pub_key())
+        .set_cred_creator_pub_key(cred_issuer.pub_key())
+        .reveal_record_opening()
+        .reveal_all_attributes()
+        .set_reveal_threshold(10)
+    )
+    issuer = AssetIssuerMock(rng, b"kyc asset", policy)
+
+    attrs = [
+        IdentityAttribute.new(f"attr-{i}".encode()) for i in range(ATTRS_LEN)
+    ]
+    cred = ExpirableCredential.create(
+        sender.address(), attrs, expiry=500, issuer_keypair=cred_issuer, rng=rng
+    )
+
+    sender_ro = RecordOpening.new(rng, 200, issuer.asset_def, sender.pub_key())
+    uid_rec = ledger.insert_record(RecordCommitment.from_ro(sender_ro))
+    fee_ro = RecordOpening.new(rng, 5, AssetDefinition.native(), sender.pub_key())
+    uid_fee = ledger.insert_record(RecordCommitment.from_ro(fee_ro))
+
+    fi = FeeInput(
+        fee_ro, AccMemberWitness.lookup_from_tree(ledger.tree, uid_fee), sender
+    )
+    fee_info, _ = TxnFeeInfo.new(rng, fi, 1)
+    t_inputs = [
+        TransferNoteInput(
+            ro=sender_ro,
+            acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, uid_rec),
+            owner_keypair=sender,
+            cred=cred,
+        )
+    ]
+    out_ro = RecordOpening.new(rng, 200, issuer.asset_def, recv.pub_key())
+    # amount (200) above the reveal threshold (10) => memo must be real
+    note, _ = TransferNote.generate_non_native(
+        rng, t_inputs, [out_ro], fee_info, valid_until=400,
+        proving_key=keys.transfer_pk,
+    )
+    validator.timestamp = 3
+    validator.validate_and_apply_block(
+        rng, [TransactionNote.transfer(note)], fee_collector.pub_key()
+    )
+
+    vm = ViewerMock(viewer, issuer.asset_def)
+    ins, outs = vm.scan_transfer(note)
+    vin = [d for d in ins if d.user_address is not None][0]
+    assert vin.user_address == sender.address()
+    assert vin.amount == 200
+    assert tuple(a.value for a in attrs) == tuple(
+        a.value for a in vin.attributes if a is not None
+    )
+    vout = [d for d in outs if d.user_address == recv.address()][0]
+    assert vout.amount == 200
+
+    # an expired credential is rejected host-side
+    validator.timestamp = 600
+    with pytest.raises(TxnApiError):
+        TransferNote.generate_non_native(
+            rng, t_inputs, [out_ro], fee_info, valid_until=600,
+            proving_key=keys.transfer_pk,
+        )
 
 
 def test_block_intra_double_spend_rejected():
