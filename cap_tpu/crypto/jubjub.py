@@ -96,6 +96,15 @@ class TEPoint:
             k >>= 1
         return acc
 
+    def in_subgroup(self) -> bool:
+        """Prime-order-subgroup membership (cofactor-8 check).
+
+        Baby Jubjub has cofactor 8; a decoded on-curve point may still lie
+        outside the prime subgroup and enable small-subgroup confinement.
+        The reference validates this on deserialized points
+        (src/structs.rs:1425-1591 via ark CanonicalDeserialize)."""
+        return self.mul_scalar(SUBGROUP_ORDER).is_neutral()
+
     def to_coords(self) -> tuple[int, int]:
         return (self.x, self.y)
 

@@ -48,16 +48,20 @@ from cap_tpu.crypto.jubjub import TEPoint
 _ALPHA_INV = rescue_params(FR).alpha_inv
 
 
-def replay(tape, inputs, p: int = FR.p) -> list:
+def replay(tape, inputs, p: int = FR.p, overrides: dict | None = None) -> list:
     """Recompute the witness vector for new leaf inputs.
 
     tape: list of op tuples from PlonkCircuit.tape.
     inputs: list of ints in load order (from the family's extract-inputs).
+    overrides: optional {var: value} forced assignments (adversarial tests).
     Returns the full witness_values list.
     """
     w = [0] * len(tape)
     ainv = _ALPHA_INV
     for i, op in enumerate(tape):
+        if overrides is not None and i in overrides:
+            w[i] = overrides[i] % p
+            continue
         tag = op[0]
         if tag == "add":
             w[i] = (w[op[1]] + w[op[2]]) % p
@@ -128,6 +132,17 @@ def replay(tape, inputs, p: int = FR.p) -> list:
         else:
             raise ValueError(f"unknown tape op {tag!r} at var {i}")
     return w
+
+
+def replay_with_overrides(tape, inputs, overrides: dict, p: int = FR.p) -> list:
+    """Replay, forcing selected vars to chosen values (adversarial probes).
+
+    Overridden vars keep the forced value; everything downstream is
+    recomputed from it — producing the internally-consistent witness a
+    malicious prover could build by altering free (hint) wires.  Used by
+    soundness tests (e.g. the unpack_with_wrap challenge-encoding probe).
+    """
+    return replay(tape, inputs, p, overrides=overrides)
 
 
 def count_raw(tape) -> int:

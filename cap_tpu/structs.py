@@ -700,6 +700,11 @@ class ViewableData:
                 pt = TEPoint(x, y)
                 if not pt.on_curve():
                     raise FailedViewableMemoDecryptionError("address not on curve")
+                if not pt.in_subgroup():
+                    # cofactor-8 check (reference structs.rs:1425-1591)
+                    raise FailedViewableMemoDecryptionError(
+                        "address not in the prime subgroup"
+                    )
                 addr = pt
         amount = None
         if rm.bits[2]:

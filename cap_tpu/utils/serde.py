@@ -53,6 +53,10 @@ def te_point_from_bytes(data: bytes):
     pt = point_from_x(x, data[32])
     if pt is None:
         raise ValueError("invalid jubjub x-coordinate")
+    if not (pt.is_neutral() or pt.in_subgroup()):
+        # cofactor-8 subgroup check on every deserialized point
+        # (reference structs.rs:1425-1591 / ark CanonicalDeserialize)
+        raise ValueError("jubjub point not in the prime subgroup")
     return pt
 
 

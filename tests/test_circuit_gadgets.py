@@ -17,6 +17,9 @@ def sat(c):
     return c.check_circuit_satisfiability(c.public_input())
 
 
+from tests.test_witness_tape import harvest_inputs  # noqa: E402
+
+
 class TestBasicGates:
     def test_arith(self):
         c = PlonkCircuit()
@@ -204,6 +207,65 @@ class TestSchnorrGadget:
         ok = schnorr.check_signature_validity(c, vkv, msgv, sigv)
         assert c.witness(ok) == 0
         assert sat(c)  # circuit satisfiable, predicate is just false
+
+
+class TestChallengeWrapSoundness:
+    """Adversarial probe of unpack_with_wrap (VERDICT r1 weak #8).
+
+    The challenge decomposition admits two encodings (ch and ch+p when
+    ch+p < 2^254).  The wrap freedom must NOT yield a second accepting
+    witness: re-witnessing the circuit with the ch+p bit encoding (all
+    downstream wires recomputed consistently, exactly what a malicious
+    prover could do) must leave the verification equation UNSAT, because
+    p is not a multiple of the embedded-group order."""
+
+    def _build(self, rng):
+        c = PlonkCircuit()
+        kp = SchnorrKeyPair.generate(rng)
+        msg = [5, 8, 13]
+        sig = kp.sign(msg, rng)
+        vkv = ecc.create_point_variable(c, kp.vk)
+        msgv = [c.load(m) for m in msg]
+        sigv = schnorr.create_signature_variable(c, sig)
+        schnorr.enforce_signature_validity(c, vkv, msgv, sigv)
+        return c
+
+    def test_wrap_encoding_cannot_satisfy(self):
+        from cap_tpu.plonk import tape as tape_mod
+
+        rng = test_rng()
+        found_wrappable = False
+        for _ in range(40):
+            c = self._build(rng)
+            assert sat(c)
+            # locate the 254-bit challenge decomposition on the tape
+            bit_ops = {}
+            for i, op in enumerate(c.tape):
+                if op[0] == "bit" and op[2] == 0:
+                    bit_ops.setdefault(op[1], []).append(i)
+                elif op[0] == "bit":
+                    if op[1] in bit_ops:
+                        bit_ops[op[1]].append(i)
+            ch_var, bit_vars = max(bit_ops.items(), key=lambda kv: len(kv[1]))
+            assert len(bit_vars) == 254
+            ch = c.witness(ch_var)
+            if ch + FR.p >= 1 << 254:
+                continue  # this challenge admits only the canonical encoding
+            found_wrappable = True
+            wrapped = ch + FR.p
+            overrides = {
+                v: (wrapped >> i) & 1 for i, v in enumerate(bit_vars)
+            }
+            inputs = harvest_inputs(c)
+            w2 = tape_mod.replay_with_overrides(c.tape, inputs, overrides)
+            # positive control: replay without overrides reproduces the build
+            assert tape_mod.replay(c.tape, inputs) == c.witness_values
+            c.witness_values = w2
+            assert not sat(c), (
+                "wrap-encoded challenge satisfied the circuit — "
+                "unpack_with_wrap is NOT sound here"
+            )
+        assert found_wrappable, "no wrappable challenge in 40 trials"
 
 
 class TestMerkleGadget:

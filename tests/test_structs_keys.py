@@ -187,6 +187,51 @@ class TestMemos:
             memo.decrypt(user, RecordCommitment.from_ro(other))
 
 
+class TestSubgroupChecks:
+    """Cofactor-8 validation on decoded Jubjub points (reference
+    structs.rs:1425-1591; VERDICT r1 weak #7)."""
+
+    # on-curve point OUTSIDE the prime subgroup (x=2 root, order has
+    # a torsion component)
+    TORSION_X = 2
+
+    def _torsion_point(self):
+        from cap_tpu.crypto.jubjub import point_from_x
+
+        pt = point_from_x(self.TORSION_X, 0)
+        assert pt is not None and pt.on_curve() and not pt.in_subgroup()
+        return pt
+
+    def test_in_subgroup_predicate(self):
+        from cap_tpu.crypto.jubjub import GENERATOR, NEUTRAL
+
+        assert GENERATOR.in_subgroup()
+        assert NEUTRAL.in_subgroup()
+        assert not self._torsion_point().in_subgroup()
+
+    def test_viewable_data_rejects_torsion_address(self):
+        from cap_tpu.errors import FailedViewableMemoDecryptionError
+        from cap_tpu.structs import AssetCode, RevealMap, ViewableData
+
+        pt = self._torsion_point()
+        rm = RevealMap().reveal_record_opening()
+        vals = [pt.x, pt.y, 5, 7] + [0] * 8
+        with pytest.raises(FailedViewableMemoDecryptionError):
+            ViewableData.from_scalars(AssetCode.native(), vals, rm, is_input=True)
+
+    def test_serde_rejects_torsion_point(self):
+        from cap_tpu.utils.serde import te_point_from_bytes, te_point_to_bytes
+
+        pt = self._torsion_point()
+        data = te_point_to_bytes(pt)
+        with pytest.raises(ValueError):
+            te_point_from_bytes(data)
+        # a legit subgroup point still round-trips
+        from cap_tpu.crypto.jubjub import GENERATOR
+
+        assert te_point_from_bytes(te_point_to_bytes(GENERATOR)) == GENERATOR
+
+
 class TestFees:
     def test_fee_split(self):
         rng = test_rng()
