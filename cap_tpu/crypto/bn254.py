@@ -219,6 +219,35 @@ def g1_msm_host(scalars, points):
     return acc
 
 
+def g1_msm_pippenger(scalars, points, c: int = 8):
+    """Host bucket-Pippenger MSM (arkworks VariableBaseMSM role).
+
+    ~(254/c) * (m + 2^(c+1)) Jacobian adds — the engine behind
+    CAP_MSM=host, which lets small real proofs run in the CPU test suite
+    without the device MSM's table/compile overhead."""
+    windows = (254 + c - 1) // c
+    mask = (1 << c) - 1
+    acc = (1, 1, 0)
+    for w in reversed(range(windows)):
+        if acc[2] != 0:
+            for _ in range(c):
+                acc = g1j_double(acc)
+        buckets = [None] * (mask + 1)
+        for s, pt in zip(scalars, points):
+            d = (s >> (w * c)) & mask
+            if d and pt is not None:
+                j = g1j_from_affine(pt)
+                buckets[d] = j if buckets[d] is None else g1j_add(buckets[d], j)
+        running = (1, 1, 0)
+        winsum = (1, 1, 0)
+        for d in reversed(range(1, mask + 1)):
+            if buckets[d] is not None:
+                running = g1j_add(running, buckets[d])
+            winsum = g1j_add(winsum, running)
+        acc = g1j_add(acc, winsum)
+    return g1j_to_affine(acc)
+
+
 # ---------------------------------------------------------------------------
 # G2 (affine over Fq2; None = infinity)
 # ---------------------------------------------------------------------------

@@ -31,6 +31,9 @@ def main(argv=None) -> int:
     s2.add_argument("depth", type=int)
     s2.add_argument("circuit", choices=["transfer", "mint", "freezing"])
     s2.add_argument("--srs-size", type=int, default=None)
+    s2.add_argument("--full", action="store_true",
+                    help="store the full proving-key blob (.npz) instead of "
+                         "the lazy JSON stub")
 
     args = ap.parse_args(argv)
     if args.dest:
@@ -57,15 +60,19 @@ def main(argv=None) -> int:
     srs = parameters.load_universal_parameter(size)
     if kind == "transfer":
         pk, vk = transfer_proof.preprocess(srs, args.n_in, args.n_out, args.depth)
-        parameters.store_transfer_proving_key(pk, args.n_in, args.n_out, args.depth)
+        parameters.store_transfer_proving_key(
+            pk, args.n_in, args.n_out, args.depth,
+            mode="full" if args.full else "lazy")
         parameters.store_verifying_key(vk, "transfer", args.n_in, args.n_out, args.depth)
     elif kind == "mint":
         pk, vk = mint_proof.preprocess(srs, args.depth)
-        parameters.store_mint_proving_key(pk, args.depth)
+        parameters.store_mint_proving_key(
+            pk, args.depth, mode="full" if args.full else "lazy")
         parameters.store_verifying_key(vk, "mint", 1, 2, args.depth)
     else:
         pk, vk = freeze_proof.preprocess(srs, args.n_in, args.depth)
-        parameters.store_freeze_proving_key(pk, args.n_in, args.depth)
+        parameters.store_freeze_proving_key(
+            pk, args.n_in, args.depth, mode="full" if args.full else "lazy")
         parameters.store_verifying_key(vk, "freeze", args.n_in, args.n_in, args.depth)
     print(f"stored {kind} keys ({time.time()-t0:.1f}s)")
     return 0

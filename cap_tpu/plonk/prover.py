@@ -114,6 +114,22 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
     if mode == "signed":
         res = commit_batch_device(srs, coeffs_plain_batch)
         return msg_mod.points_from_windows_result(res)
+    if mode == "host":
+        # host bucket Pippenger — small CPU-suite proofs, where device MSM
+        # compile/table overhead dwarfs the work
+        from cap_tpu.crypto.bn254 import g1_msm_pippenger
+        from cap_tpu.fields.host import FQ
+        from cap_tpu.ops.limbs import limbs_to_ints
+
+        coeffs = limbs_to_ints(
+            np.asarray(coeffs_plain_batch).reshape(k * m, NLIMBS)
+        )
+        xs = limbs_to_ints(np.asarray(srs.g1_x[:m]), FQ)
+        ys = limbs_to_ints(np.asarray(srs.g1_y[:m]), FQ)
+        pts = list(zip(xs, ys))
+        return [
+            g1_msm_pippenger(coeffs[i * m : (i + 1) * m], pts) for i in range(k)
+        ]
     if mode == "windowed":
         mp, tx, ty = _window_table(srs, m)
         padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, mp)
@@ -334,27 +350,52 @@ def _kernels(n: int):
 def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
     """Build (ProvingKey, VerifyingKey) — `PlonkKzgSnark::preprocess` twin."""
     fin = circuit.finalize_for_arithmetization()
-    n = fin.n
+    sel_evals = jnp.asarray(
+        np.stack([ints_to_limbs(fin.selectors[name], FR) for name in SELECTORS])
+    )
+    sigma_evals = jnp.asarray(np.stack([ints_to_limbs(s, FR) for s in fin.sigma_values]))
+    return preprocess_from_arrays(
+        srs, fin.n, fin.num_pub, list(fin.wire_ks),
+        np.asarray(fin.wire_index, dtype=np.int32),
+        sel_evals, sigma_evals, sigma_values_host=fin.sigma_values,
+    )
+
+
+def preprocess_from_arrays(
+    srs: srs_mod.UniversalSrs, n: int, num_pub: int, wire_ks: list,
+    wire_index, sel_evals, sigma_evals, *,
+    sigma_values_host=None, comms=None,
+):
+    """Array-driven preprocessing core.
+
+    Drives both fresh preprocessing (from a finalized circuit's selector /
+    sigma evaluation tables) and `parameters.load_*` full-mode key loading —
+    the stored .npz holds exactly (n, num_pub, wire_ks, wire_index,
+    sel_evals, sigma_evals) plus the 18 commitments, so loading never
+    re-synthesizes the Python circuit or re-runs the commit MSMs
+    (reference parameters.rs:485-557 pk blobs).
+
+    comms: optional (selector_comms dict, sigma_comms list) to skip the
+    18-poly commit batch.
+    """
     if srs.max_degree < n + 2:
         raise ValueError(f"SRS degree {srs.max_degree} < required {n + 2}")
     K = _kernels(n)
     p = FR.p
 
-    sel_evals = jnp.asarray(
-        np.stack([ints_to_limbs(fin.selectors[name], FR) for name in SELECTORS])
-    )
-    sigma_evals = jnp.asarray(np.stack([ints_to_limbs(s, FR) for s in fin.sigma_values]))
-
     to_coeffs = jax.jit(jax.vmap(lambda e: intt(e, K.dom)))
     sel_coeffs = to_coeffs(sel_evals)
     sigma_coeffs = to_coeffs(sigma_evals)
 
-    # commitments (18 at once)
-    allc = jnp.concatenate([sel_coeffs, sigma_coeffs], axis=0)
-    plain = jax.jit(fj.from_mont)(allc)
-    host_comms = commit_batch(srs, plain)
-    selector_comms = {name: host_comms[i] for i, name in enumerate(SELECTORS)}
-    sigma_comms = host_comms[13:18]
+    # commitments (18 at once) unless supplied from a stored key
+    if comms is None:
+        allc = jnp.concatenate([sel_coeffs, sigma_coeffs], axis=0)
+        plain = jax.jit(fj.from_mont)(allc)
+        host_comms = commit_batch(srs, plain)
+        selector_comms = {name: host_comms[i] for i, name in enumerate(SELECTORS)}
+        sigma_comms = host_comms[13:18]
+    else:
+        selector_comms, sigma_comms = comms
 
     # coset tables
     m8 = 8 * n
@@ -374,7 +415,7 @@ def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
     w8 = K.dom8.omega
     for _ in range(m8 - 1):
         xs8_host.append(xs8_host[-1] * w8 % p)
-    ks = fin.wire_ks
+    ks = wire_ks
     ks_x = jnp.asarray(
         np.stack([ints_to_limbs([k * x % p for x in xs_host], FR) for k in ks])
     )
@@ -400,14 +441,14 @@ def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
     x2n_mont = jnp.asarray(ints_to_limbs(x2n_host, FR))
 
     vk = VerifyingKey(
-        n=n, num_pub=fin.num_pub, wire_ks=list(ks),
+        n=n, num_pub=num_pub, wire_ks=list(ks),
         selector_comms=selector_comms, sigma_comms=sigma_comms,
         g2_gen=srs.g2_gen, g2_tau=srs.g2_tau,
     )
     pk = ProvingKey(
-        vk=vk, n=n, num_pub=fin.num_pub,
+        vk=vk, n=n, num_pub=num_pub,
         domain=K.dom, domain8=K.dom8, domain2=K.dom2, coset_shift=K.g,
-        wire_index=fin.wire_index, sigma_values_host=fin.sigma_values,
+        wire_index=wire_index, sigma_values_host=sigma_values_host,
         wire_ks=list(ks),
         sel_coeffs=sel_coeffs, sigma_coeffs=sigma_coeffs,
         sel_coset=sel_coset, sigma_coset=sigma_coset,

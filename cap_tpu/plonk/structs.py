@@ -86,6 +86,51 @@ class VerifyingKey:
             h += g1_to_bytes(c)
         return keccak256(h)
 
+    def to_bytes(self) -> bytes:
+        """Fixed-layout serialization (reference parameters.rs:485-557 role;
+        no pickle — a verifying key must load from untrusted bytes safely).
+
+        Layout: n (8 LE) || num_pub (8 LE) || 5 x wire_k (32 LE) ||
+        13 selector comms (33 B each, SELECTORS order) || 5 sigma comms ||
+        g2_gen (128 B) || g2_tau (128 B)."""
+        from cap_tpu.plonk.circuit import SELECTORS
+        from cap_tpu.utils.serde import g1_to_bytes, g2_to_bytes
+
+        out = self.n.to_bytes(8, "little") + self.num_pub.to_bytes(8, "little")
+        out += b"".join(FR.to_bytes_le(k) for k in self.wire_ks)
+        for name in SELECTORS:
+            out += g1_to_bytes(self.selector_comms[name])
+        for c in self.sigma_comms:
+            out += g1_to_bytes(c)
+        out += g2_to_bytes(self.g2_gen) + g2_to_bytes(self.g2_tau)
+        return out
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "VerifyingKey":
+        """Parse + validate a serialized key (points curve-checked)."""
+        from cap_tpu.plonk.circuit import SELECTORS
+        from cap_tpu.utils.serde import g1_from_bytes, g2_from_bytes
+
+        exp = 16 + 5 * 32 + 18 * 33 + 2 * 128
+        if len(data) != exp:
+            raise ValueError(f"verifying key must be {exp} bytes, got {len(data)}")
+        off = 0
+        n = int.from_bytes(data[off : off + 8], "little"); off += 8
+        num_pub = int.from_bytes(data[off : off + 8], "little"); off += 8
+        wire_ks = []
+        for _ in range(5):
+            wire_ks.append(FR.from_bytes_le(data[off : off + 32])); off += 32
+        comms = []
+        for _ in range(18):
+            comms.append(g1_from_bytes(data[off : off + 33])); off += 33
+        g2_gen = g2_from_bytes(data[off : off + 128]); off += 128
+        g2_tau = g2_from_bytes(data[off : off + 128]); off += 128
+        return cls(
+            n=n, num_pub=num_pub, wire_ks=wire_ks,
+            selector_comms={name: comms[i] for i, name in enumerate(SELECTORS)},
+            sigma_comms=comms[13:18], g2_gen=g2_gen, g2_tau=g2_tau,
+        )
+
 
 @dataclass
 class ProvingKey:

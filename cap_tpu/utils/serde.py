@@ -75,3 +75,25 @@ def untag_blob(tag: str, s: str) -> bytes:
     if keccak256(tag.encode() + data)[:4] != chk:
         raise ValueError("checksum mismatch")
     return data
+
+
+def g2_to_bytes(pt) -> bytes:
+    """G2 affine point: 128 bytes = x.c0 || x.c1 || y.c0 || y.c1 (32-byte LE
+    each).  Uncompressed — the verifier holds only two G2 points, so the
+    space for a square-root-based compression is not worth the Fq2 sqrt."""
+    x, y = pt
+    return (
+        FQ.to_bytes_le(x.c0) + FQ.to_bytes_le(x.c1)
+        + FQ.to_bytes_le(y.c0) + FQ.to_bytes_le(y.c1)
+    )
+
+
+def g2_from_bytes(data: bytes):
+    from cap_tpu.crypto.bn254 import Fq2, g2_is_on_curve
+
+    assert len(data) == 128
+    vals = [FQ.from_bytes_le(data[32 * i : 32 * (i + 1)]) for i in range(4)]
+    pt = (Fq2(vals[0], vals[1]), Fq2(vals[2], vals[3]))
+    if not g2_is_on_curve(pt):
+        raise ValueError("G2 point not on the curve")
+    return pt
