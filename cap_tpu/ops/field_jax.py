@@ -222,24 +222,43 @@ def inv(x, ctx: FieldCtx = FR_CTX):
     return pow_const(x, ctx.p_int - 2, ctx)
 
 
-def prefix_prod(x, ctx: FieldCtx = FR_CTX):
+def prefix_prod(x, ctx: FieldCtx = FR_CTX, mul=None):
     """Inclusive prefix product along axis 0 (Hillis–Steele shift ladder).
 
     log2(n) full-array mont_muls — measured faster than
     lax.associative_scan on this stack, and ~30x cheaper than a
-    full-array Fermat pow when feeding batch inversion."""
+    full-array Fermat pow when feeding batch inversion.  `mul` overrides
+    the multiply (e.g. the flat Pallas kernel on aligned shapes)."""
+    mul = mul or (lambda a, b: mont_mul(a, b, ctx))
     n = x.shape[0]
     shift = 1
     while shift < n:
         pad = one_mont((shift,) + x.shape[1:-1], ctx)
-        x = mont_mul(x, jnp.concatenate([pad, x[:-shift]], axis=0), ctx)
+        x = mul(x, jnp.concatenate([pad, x[:-shift]], axis=0))
         shift <<= 1
     return x
 
 
-def suffix_prod(x, ctx: FieldCtx = FR_CTX):
+def suffix_prod(x, ctx: FieldCtx = FR_CTX, mul=None):
     """Inclusive suffix product along axis 0 (reverse of prefix_prod)."""
-    return jnp.flip(prefix_prod(jnp.flip(x, 0), ctx), 0)
+    return jnp.flip(prefix_prod(jnp.flip(x, 0), ctx, mul=mul), 0)
+
+
+def suffix_sum(x, ctx: FieldCtx = FR_CTX):
+    """Inclusive suffix sum along axis 0 (shift ladder of field adds).
+
+    log2(n) full-array adds — the opening-quotient kernel's workhorse:
+    (q(X) - q(z))/(X - z) has coefficients c_i = z^{-(i+1)} * S_{i+1} with
+    S_i = sum_{j>=i} q_j z^j, so the whole division is one elementwise
+    multiply, this adds-only ladder, and one more elementwise multiply —
+    ~3n modmuls instead of the round-1 2n-point NTT + batched inversion."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        pad = zero((shift,) + x.shape[1:-1], ctx)
+        x = add(x, jnp.concatenate([x[shift:], pad], axis=0), ctx)
+        shift <<= 1
+    return x
 
 
 def batch_inv_nonzero(x, ctx: FieldCtx = FR_CTX):

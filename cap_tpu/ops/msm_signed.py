@@ -84,13 +84,17 @@ def _batch_inverse(x, ctx):
     return fj.mont_mul(fj.mont_mul(prev, suf, ctx), total_inv, ctx)
 
 
-def build_signed_table(px, py, m: int) -> jnp.ndarray:
+def build_signed_table(px, py, m: int, mp: int | None = None) -> jnp.ndarray:
     """Precompute d*P_i for d in [0, 512]: [513, mp, 32] uint16 (x‖y limbs,
     Montgomery affine).  Row 0 duplicates the base (masked out at use).
 
     px, py: [m, 16] canonical Montgomery affine coords of the SRS points.
+    mp: pad target (defaults to the next WCHUNK multiple; a mesh-sharded
+    commit passes D*WCHUNK granularity so every device gets whole chunks).
     """
-    mp = ((m + WCHUNK - 1) // WCHUNK) * WCHUNK
+    if mp is None:
+        mp = ((m + WCHUNK - 1) // WCHUNK) * WCHUNK
+    assert mp % WCHUNK == 0 and mp >= m
     pad = mp - m
     if pad:
         one = jnp.broadcast_to(fj.one_mont((), fj.FQ_CTX), (pad, NLIMBS))
@@ -100,24 +104,49 @@ def build_signed_table(px, py, m: int) -> jnp.ndarray:
     @jax.jit
     def _build_block(px, py):
         cblk = px.shape[0]
-        ones_m = jnp.ones((cblk // 128, 1, 128), jnp.uint32)
-        g_t = (pfl.to_limb_major(px), pfl.to_limb_major(py))
-
-        def step(acc_t, _):
-            nxt = pfl.ec_add_mixed_pallas_tiled(acc_t, g_t, ones_m)
-            return nxt, nxt
-
         one = fj.one_mont((cblk,), fj.FQ_CTX)
-        init = (g_t[0], pfl.to_limb_major(py), pfl.to_limb_major(one))
-        _, (txs, tys, tzs) = lax.scan(step, init, None, length=HALF - 1)
-        # scan outputs are tiled [511, C/128, 16, 128] -> [511, C, 16]
-        sx = jax.vmap(pfl.from_limb_major)(txs)
-        sy = jax.vmap(pfl.from_limb_major)(tys)
-        sz = jax.vmap(pfl.from_limb_major)(tzs)
-        allx = jnp.concatenate([px[None], sx], axis=0)   # [512, C, 16] (d=1..512)
-        ally = jnp.concatenate([py[None], sy], axis=0)
-        onez = fj.one_mont((1, cblk), fj.FQ_CTX)
-        allz = jnp.concatenate([onez, sz], axis=0)
+
+        def tiled(level):
+            s = level[0].shape[0]
+            return tuple(
+                pfl.to_limb_major(c.reshape(s * cblk, NLIMBS)) for c in level
+            )
+
+        def untiled(t, s):
+            return tuple(
+                pfl.from_limb_major(c).reshape(s, cblk, NLIMBS) for c in t
+            )
+
+        # levelized d*P ladder: level j holds d in [2^j, 2^(j+1)) — evens by
+        # one batched double of level j-1, odds by one batched mixed +P.
+        # Same 511 group ops per point as the round-2a sequential scan, but
+        # 17 big batched kernel calls instead of 511 tiny sequential ones
+        # (which were schedule-latency-bound on both CPU and TPU).
+        levels = [(px[None], py[None], one[None])]  # d = 1
+        for j in range(1, 9):
+            prev = levels[-1]
+            s = prev[0].shape[0]
+            pt = tiled(prev)
+            dt = pfl.ec_add_pallas_tiled(pt, pt)  # d = 2e (redundant coords)
+            gx = jnp.tile(px, (s, 1))
+            gy = jnp.tile(py, (s, 1))
+            gt = (pfl.to_limb_major(gx), pfl.to_limb_major(gy))
+            mask = jnp.ones((s * cblk // 128, 1, 128), jnp.uint32)
+            ot = pfl.ec_add_mixed_pallas_tiled(dt, gt, mask)  # d = 2e + 1
+            evens = untiled(dt, s)
+            odds = untiled(ot, s)
+            levels.append(
+                tuple(
+                    jnp.stack([e, o], axis=1).reshape(2 * s, cblk, NLIMBS)
+                    for e, o in zip(evens, odds)
+                )
+            )
+        p256 = tuple(c[0].reshape(cblk, NLIMBS) for c in levels[-1])
+        t256 = tiled(tuple(c[None] for c in p256))
+        d512 = untiled(pfl.ec_add_pallas_tiled(t256, t256), 1)
+        allx = jnp.concatenate([lv[0] for lv in levels] + [d512[0]], axis=0)
+        ally = jnp.concatenate([lv[1] for lv in levels] + [d512[1]], axis=0)
+        allz = jnp.concatenate([lv[2] for lv in levels] + [d512[2]], axis=0)
         # normalize redundant coords then batch-invert z over the flattened rows
         norm = lambda a: jax.vmap(
             lambda t: pfl.from_limb_major(pfl.normalize_tiled(pfl.to_limb_major(t)))
@@ -215,6 +244,28 @@ def msm_signed_windows_device(table, scalars_batch):
         width = half
     t_win = tuple(c.reshape(k, NUM_WINDOWS, NLIMBS) for c in acc)  # [k, 26, 16]
     return jnp.stack(t_win, axis=2)  # [k, 26, 3, 16] projective (canonical)
+
+
+def msm_signed_commit_device(table, scalars_batch):
+    """Whole batched MSM on device: window sums + one-kernel Horner fold.
+
+    Returns [k, 3, 16] canonical projective points — the host only
+    z-normalizes (k tiny inversions).  Replaces the round-2a flow that
+    shipped [k, 26, 3, 16] to the host for a bigint Horner (~8 ms host work
+    + a larger transfer per commit batch)."""
+    t_win_s = msm_signed_windows_device(table, scalars_batch)  # [k,26,3,16]
+    k = t_win_s.shape[0]
+    # t_win_s axes (k, w, coord, limb) -> per coord [w, limb, k-lanes]
+    per = []
+    for c in range(3):
+        a = jnp.transpose(t_win_s[:, :, c, :], (1, 2, 0))  # [26, 16, k]
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 128 - k)))
+        per.append(a)
+    from cap_tpu.ops import pallas_field as pfl
+
+    ox, oy, oz = pfl.horner_fold_pallas(tuple(per), NUM_WINDOWS, WINDOW_BITS)
+    out = jnp.stack([ox, oy, oz], axis=0)  # [3, 16, 128]
+    return jnp.transpose(out[:, :, :k], (2, 0, 1))  # [k, 3, 16]
 
 
 def msm_signed_batch_device(table, scalars_batch):

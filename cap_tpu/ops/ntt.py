@@ -91,30 +91,67 @@ def get_domain(n: int, field: PrimeField = FR) -> NttDomain:
     )
 
 
-def _ntt_core(x, stage_tables, n: int):
+def _ntt_core(x, stage_tables, n: int, field: PrimeField = FR):
+    from cap_tpu.ops import field_jax as fjx, pallas_field as pfl
+
+    ctx = fjx.ctx_for(field)
     logn = n.bit_length() - 1
+    use_bf = pfl.use_pallas() and n >= 2048 and (n // 2) % 128 == 0
     for s in range(1, logn + 1):
         m = 1 << s
         tw = jnp.asarray(stage_tables[s - 1])          # [m/2, 16]
         xr = x.reshape(n // m, 2, m // 2, NLIMBS)
-        u = xr[:, 0]
-        v = fj.mont_mul(xr[:, 1], tw[None, :, :])
-        x = jnp.stack([fj.add(u, v), fj.sub(u, v)], axis=1).reshape(n, NLIMBS)
+        if use_bf:
+            # fused flat-Pallas butterfly; values stay redundant (< 2p)
+            # across stages, one normalize pass at the end
+            u = xr[:, 0].reshape(n // 2, NLIMBS)
+            v = xr[:, 1].reshape(n // 2, NLIMBS)
+            twf = jnp.broadcast_to(
+                tw[None], (n // m, m // 2, NLIMBS)
+            ).reshape(n // 2, NLIMBS)
+            a, b = pfl.butterfly_pallas(u, v, twf, ctx)
+            x = jnp.stack(
+                [a.reshape(n // m, m // 2, NLIMBS), b.reshape(n // m, m // 2, NLIMBS)],
+                axis=1,
+            ).reshape(n, NLIMBS)
+        else:
+            u = xr[:, 0]
+            v = fj.mont_mul(xr[:, 1], tw[None, :, :], ctx)
+            x = jnp.stack([fj.add(u, v, ctx), fj.sub(u, v, ctx)], axis=1).reshape(
+                n, NLIMBS
+            )
+    if use_bf:
+        x = pfl.normalize_elem(x, ctx)
     return x
+
+
+def _emul(x, y, field: PrimeField):
+    """Elementwise mont_mul, flat-Pallas when the shape allows."""
+    from cap_tpu.ops import field_jax as fjx, pallas_field as pfl
+
+    ctx = fjx.ctx_for(field)
+    if (
+        pfl.use_pallas()
+        and x.ndim == 2
+        and x.shape[0] % pfl.BLK == 0
+        and y.shape == x.shape
+    ):
+        return pfl.mont_mul_pallas(x, y, ctx)
+    return fj.mont_mul(x, y, ctx)
 
 
 def ntt(coeffs, domain: NttDomain):
     """Coefficients -> evaluations on H (natural order). [n,16] Montgomery."""
     x = coeffs[jnp.asarray(domain.bitrev)]
-    return _ntt_core(x, domain.stage_tw, domain.n)
+    return _ntt_core(x, domain.stage_tw, domain.n, domain.field)
 
 
 def intt(evals, domain: NttDomain):
     """Evaluations on H -> coefficients. [n,16] Montgomery."""
     x = evals[jnp.asarray(domain.bitrev)]
-    x = _ntt_core(x, domain.stage_tw_inv, domain.n)
+    x = _ntt_core(x, domain.stage_tw_inv, domain.n, domain.field)
     scale = jnp.broadcast_to(jnp.asarray(domain.n_inv_mont), x.shape)
-    return fj.mont_mul(x, scale)
+    return _emul(x, scale, domain.field)
 
 
 @lru_cache(maxsize=None)
@@ -133,7 +170,7 @@ def _coset_tables(n: int, shift: int, field: PrimeField = FR):
 def coset_ntt(coeffs, domain: NttDomain, shift: int):
     """Evaluate on the coset shift*H: scale coefficient i by shift^i, then NTT."""
     pows, _ = _coset_tables(domain.n, shift, domain.field)
-    scaled = fj.mont_mul(coeffs, jnp.asarray(pows))
+    scaled = _emul(coeffs, jnp.asarray(pows), domain.field)
     return ntt(scaled, domain)
 
 
@@ -141,7 +178,7 @@ def coset_intt(evals, domain: NttDomain, shift: int):
     """Inverse of coset_ntt."""
     _, inv_pows = _coset_tables(domain.n, shift, domain.field)
     coeffs = intt(evals, domain)
-    return fj.mont_mul(coeffs, jnp.asarray(inv_pows))
+    return _emul(coeffs, jnp.asarray(inv_pows), domain.field)
 
 
 # ---------------------------------------------------------------------------

@@ -293,6 +293,120 @@ def normalize_tiled(x_tiled, ctx=None):
     )(x_tiled)
 
 
+def _butterfly_kernel(u_ref, v_ref, t_ref, a_ref, b_ref, *, ctx_name):
+    p_limbs, p2, n0 = _fc(_ctx_by_name(ctx_name))
+    u = _load_t(u_ref)
+    t = lk.mont_mul_cols(_load_t(v_ref), _load_t(t_ref), p_limbs, n0)
+    _store_t(a_ref, lk.add_mod_2p(u, t, p2))
+    _store_t(b_ref, lk.sub_mod_2p(u, t, p2))
+
+
+def butterfly_pallas(u, v, twf, ctx=None):
+    """Fused NTT butterfly: (u + v*tw, u - v*tw) on [n2, 16] uint32 arrays.
+
+    Inputs may be redundant (< 2p); outputs are redundant — stages compose
+    without normalization, callers run one `normalize_elem` pass at the end.
+    One kernel per stage instead of a scan-CIOS multiply plus separate
+    XLA add/sub (each of which round-tripped [n,17] accumulators)."""
+    from cap_tpu.ops import field_jax as fj
+
+    ctx = ctx or fj.FR_CTX
+    n2 = u.shape[0]
+    n128 = n2 // 128
+    grp = _grp_for(n128)
+    spec = pl.BlockSpec((grp, NLIMBS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    a, b = pl.pallas_call(
+        partial(_butterfly_kernel, ctx_name=ctx.name),
+        grid=(n128 // grp,),
+        in_specs=[spec, spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((n128, NLIMBS, 128), jnp.uint32)] * 2,
+    )(to_limb_major(u), to_limb_major(v), to_limb_major(twf))
+    return from_limb_major(a), from_limb_major(b)
+
+
+def normalize_elem(x, ctx=None):
+    """Reduce redundant [n, 16] element-major values to canonical [0, p)."""
+    return from_limb_major(normalize_tiled(to_limb_major(x), ctx))
+
+
+def _horner_fold_kernel(tx_ref, ty_ref, tz_ref, ox_ref, oy_ref, oz_ref,
+                        *, nwin, wbits):
+    """Cross-window Horner fold: acc = 2^wbits * acc + T_w, MSB first.
+
+    Inputs [nwin, 16, 128] per coordinate (windows on axis 0, polys in
+    lanes, canonical projective).  Runs the whole ~(nwin*wbits) doubling
+    chain in ONE kernel — the XLA scan equivalent pays ~2-5 us of schedule
+    overhead per tiny EC op, the host equivalent a ~29 ms transfer."""
+    from jax import lax
+
+    from cap_tpu.ops import field_jax as fj
+
+    fc = _fc(fj.FQ_CTX)
+
+    def getw(ref, w):
+        return ref[pl.dslice(w, 1), :, :][0]
+
+    def cols(a):
+        return [a[j : j + 1, :] for j in range(NLIMBS)]
+
+    def stackc(cs):
+        return jnp.concatenate(cs, axis=0)
+
+    def add(a, b):
+        rx, ry, rz = lk.ec_add_cols(
+            (cols(a[0]), cols(a[1]), cols(a[2])),
+            (cols(b[0]), cols(b[1]), cols(b[2])), fc
+        )
+        return (stackc(rx), stackc(ry), stackc(rz))
+
+    acc = (getw(tx_ref, nwin - 1), getw(ty_ref, nwin - 1), getw(tz_ref, nwin - 1))
+
+    def body(i, acc):
+        acc = lax.fori_loop(0, wbits, lambda _, a: add(a, a), acc)
+        w = nwin - 2 - i
+        g = (getw(tx_ref, w), getw(ty_ref, w), getw(tz_ref, w))
+        return add(acc, g)
+
+    ax, ay, az = lax.fori_loop(0, nwin - 1, body, acc)
+    ox_ref[:] = stackc(lk.cond_sub_p(cols(ax), fc[0]))
+    oy_ref[:] = stackc(lk.cond_sub_p(cols(ay), fc[0]))
+    oz_ref[:] = stackc(lk.cond_sub_p(cols(az), fc[0]))
+
+
+def horner_fold_pallas(t_win, nwin: int, wbits: int):
+    """[nwin, 16, 128] x3 canonical window sums -> [16, 128] x3 canonical
+    projective results (lane l = poly l's commitment)."""
+    tx, ty, tz = t_win
+    if not use_pallas():
+        from jax import lax
+
+        from cap_tpu.ops import ec as _ec
+
+        t = tuple(jnp.moveaxis(c, 1, 2) for c in (tx, ty, tz))  # [nwin,128,16]
+        acc = tuple(c[nwin - 1] for c in t)
+
+        def body(i, acc):
+            acc = lax.fori_loop(0, wbits, lambda _, a: _ec.ec_add(a, a), acc)
+            g = tuple(
+                jax.lax.dynamic_index_in_dim(c, nwin - 2 - i, axis=0, keepdims=False)
+                for c in t
+            )
+            return _ec.ec_add(acc, g)
+
+        out = lax.fori_loop(0, nwin - 1, body, acc)
+        return tuple(jnp.moveaxis(c, 0, 1) for c in out)  # [16,128]
+    spec = pl.BlockSpec((nwin, NLIMBS, 128), lambda: (0, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((NLIMBS, 128), lambda: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_horner_fold_kernel, nwin=nwin, wbits=wbits),
+        in_specs=[spec, spec, spec],
+        out_specs=[ospec, ospec, ospec],
+        out_shape=[jax.ShapeDtypeStruct((NLIMBS, 128), jnp.uint32)] * 3,
+    )(tx, ty, tz)
+    return tuple(out)
+
+
 def ec_add_mixed_pallas(acc, g_affine, mask):
     """acc: (x,y,z) [N,16] projective; g_affine: (x,y) [N,16]; mask [N] uint32
     (0 -> keep acc).  Returns new (x,y,z) in [N,16] layout (redundant)."""

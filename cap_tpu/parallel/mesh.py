@@ -85,6 +85,165 @@ def sharded_msm(mesh: Mesh, points_host, scalars_host):
 
 
 # ---------------------------------------------------------------------------
+# mesh-parallel prover kernels (round 2): the signed-window commit MSM and
+# the quotient evaluation sharded over the point axis.  These are what
+# `plonk.prover` calls when a prover mesh is installed
+# (cap_tpu.parallel.set_prover_mesh) — SURVEY.md §2.3 row 1.
+# ---------------------------------------------------------------------------
+
+_PROVER_MESH: list = [None]
+
+
+def set_prover_mesh(mesh: Mesh | None) -> None:
+    """Install (or clear) the mesh the TurboPlonk prover shards over.
+
+    With a mesh set, `plonk.prover.commit_batch` splits the SRS point axis
+    across `mesh` devices (each device runs the signed-window chunk loop on
+    its shard; per-window partial sums are combined with a log2(D) complete
+    EC-add tree), and the quotient evaluation shards the 8n coset axis.
+    Proving keys/tables are unchanged — the mesh only alters device layout.
+    """
+    _PROVER_MESH[0] = mesh
+
+
+def prover_mesh() -> Mesh | None:
+    return _PROVER_MESH[0]
+
+
+def sharded_commit_windows(mesh: Mesh, table, scalars_batch):
+    """Signed-window MSM window sums with the point axis sharded over x.
+
+    table: [513, mp, 32] uint16; scalars_batch: [k, mp, 16] plain limbs;
+    mp must be a multiple of D * msm_signed.WCHUNK.  Returns [k, 26, 3, 16]
+    canonical projective window sums (combined across devices).
+    """
+    from cap_tpu.ops import msm_signed as ms
+
+    d = mesh.shape["x"]
+
+    def local(tab_shard, sc_shard):
+        return ms.msm_signed_windows_device(tab_shard, sc_shard)[None]
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "x"), P(None, "x")),
+        out_specs=P("x"),
+        check_rep=False,
+    )
+    parts = f(table, scalars_batch)  # [D, k, 26, 3, 16]
+    width = d
+    cur = tuple(parts[:, :, :, c] for c in range(3))
+    while width > 1:
+        half = width // 2
+        lo = tuple(c[:half] for c in cur)
+        hi = tuple(c[half:width] for c in cur)
+        cur = ec.ec_add(lo, hi)
+        width = half
+    return jnp.stack([c[0] for c in cur], axis=2)  # [k, 26, 3, 16]
+
+
+def sharded_commit_device(mesh: Mesh, table, scalars_batch):
+    """Full sharded commit: sharded window sums + the Horner window fold.
+    Returns [k, 3, 16] canonical projective points."""
+    from cap_tpu.ops import msm_signed as ms, pallas_field as pfl
+
+    t_win_s = sharded_commit_windows(mesh, table, scalars_batch)
+    k = t_win_s.shape[0]
+    per = []
+    for c in range(3):
+        a = jnp.transpose(t_win_s[:, :, c, :], (1, 2, 0))  # [26, 16, k]
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, 128 - k)))
+        per.append(a)
+    ox, oy, oz = pfl.horner_fold_pallas(tuple(per), ms.NUM_WINDOWS, ms.WINDOW_BITS)
+    out = jnp.stack([ox, oy, oz], axis=0)
+    return jnp.transpose(out[:, :, :k], (2, 0, 1))
+
+
+def sharded_quotient_eval(mesh: Mesh, w8, z8, zw8, pi8, sel, sig, ksx, l1, izh,
+                          alpha, beta, gamma):
+    """Quotient gate+permutation evaluation sharded over the 8n coset axis.
+
+    All poly inputs element-major ([5, m8, 16] / [m8, 16] / [13, m8, 16]);
+    zw8 (the rolled z) is computed globally by the caller so the shard
+    boundary needs no halo exchange.  Returns t8 [m8, 16].
+    """
+    from cap_tpu.ops import field_jax as fj
+
+    def local(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, alpha, beta, gamma):
+        from cap_tpu.ops import pallas_field as pfl
+
+        m8l = z8.shape[0]
+        if pfl.use_pallas() and m8l % 1024 == 0:
+            from cap_tpu.plonk import phase_kernels as phk
+
+            alpha2 = fj.mont_sqr(alpha)
+            sc4 = jnp.stack([alpha, alpha2, beta, gamma])
+            return phk.quotient_eval_pallas(
+                w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, sc4,
+                fj.FR_CTX.one_mont_np,
+            )
+        return _quotient_eval_xla(
+            w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, alpha, beta, gamma
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, "x"), P("x"), P("x"), P("x"), P(None, "x"), P(None, "x"),
+            P(None, "x"), P("x"), P("x"), P(None), P(None), P(None),
+        ),
+        out_specs=P("x"),
+        check_rep=False,
+    )
+    return f(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, alpha, beta, gamma)
+
+
+def _quotient_eval_xla(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh,
+                       alpha, beta, gamma):
+    """Reference XLA quotient evaluation on (a shard of) the coset axis."""
+    from cap_tpu.plonk.circuit import SELECTORS
+
+    m8 = z8.shape[0]
+    S = {name: sel[i] for i, name in enumerate(SELECTORS)}
+
+    def pow5(x):
+        x2 = fj.mont_sqr(x)
+        return fj.mont_mul(fj.mont_sqr(x2), x)
+
+    gate = fj.mont_mul(S["lc0"], w8[0])
+    gate = fj.add(gate, fj.mont_mul(S["lc1"], w8[1]))
+    gate = fj.add(gate, fj.mont_mul(S["lc2"], w8[2]))
+    gate = fj.add(gate, fj.mont_mul(S["lc3"], w8[3]))
+    gate = fj.add(gate, fj.mont_mul(S["mul0"], fj.mont_mul(w8[0], w8[1])))
+    gate = fj.add(gate, fj.mont_mul(S["mul1"], fj.mont_mul(w8[2], w8[3])))
+    gate = fj.add(gate, fj.mont_mul(S["hash0"], pow5(w8[0])))
+    gate = fj.add(gate, fj.mont_mul(S["hash1"], pow5(w8[1])))
+    gate = fj.add(gate, fj.mont_mul(S["hash2"], pow5(w8[2])))
+    gate = fj.add(gate, fj.mont_mul(S["hash3"], pow5(w8[3])))
+    prod = fj.mont_mul(
+        fj.mont_mul(fj.mont_mul(w8[0], w8[1]), fj.mont_mul(w8[2], w8[3])), w8[4]
+    )
+    gate = fj.add(gate, fj.mont_mul(S["ecc"], prod))
+    gate = fj.add(gate, S["c"])
+    gate = fj.sub(gate, fj.mont_mul(S["o"], w8[4]))
+    gate = fj.add(gate, pi8)
+
+    gam = gamma[None, :]
+    fnum = fj.one_mont((m8,))
+    gden = fj.one_mont((m8,))
+    for j in range(5):
+        fnum = fj.mont_mul(fnum, fj.add(fj.add(w8[j], fj.mont_mul(beta, ksx[j])), gam))
+        gden = fj.mont_mul(gden, fj.add(fj.add(w8[j], fj.mont_mul(beta, sig[j])), gam))
+    perm = fj.sub(fj.mont_mul(z8, fnum), fj.mont_mul(zw8, gden))
+    l1t = fj.mont_mul(fj.sub(z8, fj.one_mont((m8,))), l1)
+    alpha2 = fj.mont_sqr(alpha)
+    F = fj.add(gate, fj.add(fj.mont_mul(alpha, perm), fj.mont_mul(alpha2, l1t)))
+    return fj.mont_mul(F, izh)
+
+
+# ---------------------------------------------------------------------------
 # sharded NTT (four-step with one all_to_all)
 # ---------------------------------------------------------------------------
 

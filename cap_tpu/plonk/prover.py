@@ -69,6 +69,7 @@ _msm_windowed_many = jax.jit(
 )
 
 _msm_signed_jit = jax.jit(msg_mod.msm_signed_windows_device)
+_msm_commit_jit = jax.jit(msg_mod.msm_signed_commit_device)
 
 
 def _window_table(srs, m: int):
@@ -83,20 +84,35 @@ def _window_table(srs, m: int):
     return cached
 
 
-def signed_table(srs, m: int):
+def signed_table(srs, m: int, mult: int | None = None):
     """Signed-window digit table covering >= m points (cached per size).
 
     The [513, mp, 32] uint16 layout costs 33 KB/point — 2^17 (the Aztec CRS
     ceiling) fits in ~2.2 GB of HBM.  Cached per padded size so commits of a
-    smaller domain don't sweep a larger table."""
-    mp = ((m + msg_mod.WCHUNK - 1) // msg_mod.WCHUNK) * msg_mod.WCHUNK
+    smaller domain don't sweep a larger table.  `mult` overrides the pad
+    granularity (mesh commits pass D*WCHUNK)."""
+    mult = mult or msg_mod.WCHUNK
+    mp = ((m + mult - 1) // mult) * mult
     tables = getattr(srs, "_signed_tables", None)
     if tables is None:
         tables = srs._signed_tables = {}
     if mp not in tables:
         k = min(mp, srs.num_points)
-        tables[mp] = msg_mod.build_signed_table(srs.g1_x[:k], srs.g1_y[:k], k)
+        tables[mp] = msg_mod.build_signed_table(srs.g1_x[:k], srs.g1_y[:k], k, mp=mp)
     return tables[mp]
+
+
+def _prover_mesh():
+    from cap_tpu.parallel.mesh import prover_mesh
+
+    return prover_mesh()
+
+
+@lru_cache(maxsize=None)
+def _mesh_commit_fn(mesh):
+    from cap_tpu.parallel import mesh as pm
+
+    return jax.jit(lambda tab, sc: pm.sharded_commit_device(mesh, tab, sc))
 
 
 def commit_batch(srs, coeffs_plain_batch) -> list:
@@ -113,7 +129,7 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
     mode = os.environ.get("CAP_MSM", "signed")
     if mode == "signed":
         res = commit_batch_device(srs, coeffs_plain_batch)
-        return msg_mod.points_from_windows_result(res)
+        return msg_mod.points_from_batch_result(res)
     if mode == "host":
         # host bucket Pippenger — small CPU-suite proofs, where device MSM
         # compile/table overhead dwarfs the work
@@ -152,13 +168,24 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
 
 
 def commit_batch_device(srs, coeffs_plain_batch):
-    """Device half of the signed-window commit: returns [k, 26, 3, 16]
-    per-window projective sums (no host transfer; the 26-step Horner runs
-    in host bigints — ~8 ms vs ~400 ms of sequential device launches)."""
+    """Device half of the signed-window commit: [k, 3, 16] canonical
+    projective points — window sums AND the 26-step Horner fold run on
+    device (fold is one Pallas kernel, pallas_field.horner_fold_pallas);
+    the host only z-normalizes k points.
+
+    With a prover mesh installed (parallel.set_prover_mesh) the point axis
+    is sharded across the mesh: each device accumulates windows over its
+    SRS shard, partials combine in a log2(D) EC-add tree over ICI."""
     k, m, _ = coeffs_plain_batch.shape
+    mesh = _prover_mesh()
+    if mesh is not None:
+        d = mesh.shape["x"]
+        tab = signed_table(srs, m, mult=d * msg_mod.WCHUNK)
+        padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, tab.shape[1])
+        return _mesh_commit_fn(mesh)(tab, padded)
     tab = signed_table(srs, m)
     padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, tab.shape[1])
-    return _msm_signed_jit(tab, padded)
+    return _msm_commit_jit(tab, padded)
 
 
 # ---------------------------------------------------------------------------
@@ -167,11 +194,25 @@ def commit_batch_device(srs, coeffs_plain_batch):
 
 
 @lru_cache(maxsize=None)
-def _kernels(n: int):
+def _kernels(n: int, mesh=None):
     dom = get_domain(n)
     dom8 = get_domain(8 * n)
-    dom2 = get_domain(2 * n)
     g = COSET_SHIFT_FOR(n)
+
+    def _pows(s, length: int):
+        """[s^0 .. s^(length-1)] by a doubling ladder: [arr] ++ arr*s^L —
+        ~length muls total, no prefix scan (a measured sore spot)."""
+        target = 1
+        while target < length:
+            target <<= 1
+        arr = fj.one_mont((1,))
+        pk = s[None]
+        cur = 1
+        while cur < target:
+            arr = jnp.concatenate([arr, fj.mont_mul(arr, pk)], axis=0)
+            pk = fj.mont_mul(pk, pk)
+            cur *= 2
+        return arr[:length]
 
     def _pad(c, m):
         return jnp.concatenate(
@@ -203,22 +244,41 @@ def _kernels(n: int):
         ext = ext.at[:, n + 1].set(fj.add(ext[:, n + 1], b0))
         return ext, fj.from_mont(ext)
 
+    def _fast_mul(m: int):
+        """Flat-Pallas mont_mul for [m,16] arrays when aligned, else scan."""
+        from cap_tpu.ops import pallas_field as pfl
+
+        if pfl.use_pallas() and m % pfl.BLK == 0:
+            return lambda a, b: pfl.mont_mul_pallas(a, b)
+        return None
+
     @jax.jit
     def z_phase(wire_evals, sigma_evals, ks_x, beta, gamma, blinds):
         """Grand product z: returns ([n+3,16] mont coeffs, plain)."""
-        gam = gamma[None, :]
-        num = fj.one_mont((n,))
-        den = fj.one_mont((n,))
-        for j in range(5):
-            nj = fj.add(fj.add(wire_evals[j], fj.mont_mul(beta, ks_x[j])), gam)
-            dj = fj.add(fj.add(wire_evals[j], fj.mont_mul(beta, sigma_evals[j])), gam)
-            num = fj.mont_mul(num, nj)
-            den = fj.mont_mul(den, dj)
+        from cap_tpu.ops import pallas_field as pfl
+
+        if pfl.use_pallas() and n % 1024 == 0:
+            from cap_tpu.plonk import phase_kernels as phk
+
+            sc2 = jnp.stack([beta, gamma])
+            num, den = phk.z_numden_pallas(wire_evals, sigma_evals, ks_x, sc2)
+        else:
+            gam = gamma[None, :]
+            num = fj.one_mont((n,))
+            den = fj.one_mont((n,))
+            for j in range(5):
+                nj = fj.add(fj.add(wire_evals[j], fj.mont_mul(beta, ks_x[j])), gam)
+                dj = fj.add(
+                    fj.add(wire_evals[j], fj.mont_mul(beta, sigma_evals[j])), gam
+                )
+                num = fj.mont_mul(num, nj)
+                den = fj.mont_mul(den, dj)
         # z_k = prod_{i<k} num_i/den_i computed as prefix(num) * suffix(den)
         # * inv(total): two shift-ladder sweeps + ONE scalar inversion,
         # replacing a full-array Fermat pow + associative_scan
-        pnum = fj.prefix_prod(num)
-        sden = fj.suffix_prod(den)
+        fmul = _fast_mul(n)
+        pnum = fj.prefix_prod(num, mul=fmul)
+        sden = fj.suffix_prod(den, mul=fmul)
         total_inv = fj.inv(sden[:1])
         z_main = fj.mont_mul(fj.mont_mul(pnum[:-1], sden[1:]), total_inv)
         z_evals = jnp.concatenate([fj.one_mont((1,)), z_main], axis=0)
@@ -250,40 +310,62 @@ def _kernels(n: int):
         pub_evals = _pad(pub_mont, n)  # PI poly is zero past the pub rows
         pi8 = coset_ntt(_pad(intt(pub_evals, dom), m8), dom8, g)
 
-        S = {name: sel_coset[i] for i, name in enumerate(SELECTORS)}
-        gate = fj.mont_mul(S["lc0"], w8[0])
-        gate = fj.add(gate, fj.mont_mul(S["lc1"], w8[1]))
-        gate = fj.add(gate, fj.mont_mul(S["lc2"], w8[2]))
-        gate = fj.add(gate, fj.mont_mul(S["lc3"], w8[3]))
-        gate = fj.add(gate, fj.mont_mul(S["mul0"], fj.mont_mul(w8[0], w8[1])))
-        gate = fj.add(gate, fj.mont_mul(S["mul1"], fj.mont_mul(w8[2], w8[3])))
-        gate = fj.add(gate, fj.mont_mul(S["hash0"], _pow5(w8[0])))
-        gate = fj.add(gate, fj.mont_mul(S["hash1"], _pow5(w8[1])))
-        gate = fj.add(gate, fj.mont_mul(S["hash2"], _pow5(w8[2])))
-        gate = fj.add(gate, fj.mont_mul(S["hash3"], _pow5(w8[3])))
-        prod = fj.mont_mul(
-            fj.mont_mul(fj.mont_mul(w8[0], w8[1]), fj.mont_mul(w8[2], w8[3])), w8[4]
-        )
-        gate = fj.add(gate, fj.mont_mul(S["ecc"], prod))
-        gate = fj.add(gate, S["c"])
-        gate = fj.sub(gate, fj.mont_mul(S["o"], w8[4]))
-        gate = fj.add(gate, pi8)
+        from cap_tpu.ops import pallas_field as pfl
 
-        gam = gamma[None, :]
-        fnum = fj.one_mont((m8,))
-        gden = fj.one_mont((m8,))
-        for j in range(5):
-            fnum = fj.mont_mul(
-                fnum, fj.add(fj.add(w8[j], fj.mont_mul(beta, ks_x_coset[j])), gam)
+        if mesh is not None:
+            from cap_tpu.parallel import mesh as pm
+
+            t8 = pm.sharded_quotient_eval(
+                mesh, w8, z8, zw8, pi8, sel_coset, sigma_coset, ks_x_coset,
+                l1_coset, inv_zh_coset, alpha, beta, gamma,
             )
-            gden = fj.mont_mul(
-                gden, fj.add(fj.add(w8[j], fj.mont_mul(beta, sigma_coset[j])), gam)
+        elif pfl.use_pallas() and m8 % 1024 == 0:
+            from cap_tpu.plonk import phase_kernels as phk
+
+            alpha2 = fj.mont_sqr(alpha)
+            sc4 = jnp.stack([alpha, alpha2, beta, gamma])
+            t8 = phk.quotient_eval_pallas(
+                w8, z8, zw8, pi8, sel_coset, sigma_coset, ks_x_coset,
+                l1_coset, inv_zh_coset, sc4, fj.FR_CTX.one_mont_np,
             )
-        perm = fj.sub(fj.mont_mul(z8, fnum), fj.mont_mul(zw8, gden))
-        l1t = fj.mont_mul(fj.sub(z8, fj.one_mont((m8,))), l1_coset)
-        alpha2 = fj.mont_sqr(alpha)
-        F = fj.add(gate, fj.add(fj.mont_mul(alpha, perm), fj.mont_mul(alpha2, l1t)))
-        t8 = fj.mont_mul(F, inv_zh_coset)
+        else:
+            S = {name: sel_coset[i] for i, name in enumerate(SELECTORS)}
+            gate = fj.mont_mul(S["lc0"], w8[0])
+            gate = fj.add(gate, fj.mont_mul(S["lc1"], w8[1]))
+            gate = fj.add(gate, fj.mont_mul(S["lc2"], w8[2]))
+            gate = fj.add(gate, fj.mont_mul(S["lc3"], w8[3]))
+            gate = fj.add(gate, fj.mont_mul(S["mul0"], fj.mont_mul(w8[0], w8[1])))
+            gate = fj.add(gate, fj.mont_mul(S["mul1"], fj.mont_mul(w8[2], w8[3])))
+            gate = fj.add(gate, fj.mont_mul(S["hash0"], _pow5(w8[0])))
+            gate = fj.add(gate, fj.mont_mul(S["hash1"], _pow5(w8[1])))
+            gate = fj.add(gate, fj.mont_mul(S["hash2"], _pow5(w8[2])))
+            gate = fj.add(gate, fj.mont_mul(S["hash3"], _pow5(w8[3])))
+            prod = fj.mont_mul(
+                fj.mont_mul(fj.mont_mul(w8[0], w8[1]), fj.mont_mul(w8[2], w8[3])),
+                w8[4],
+            )
+            gate = fj.add(gate, fj.mont_mul(S["ecc"], prod))
+            gate = fj.add(gate, S["c"])
+            gate = fj.sub(gate, fj.mont_mul(S["o"], w8[4]))
+            gate = fj.add(gate, pi8)
+
+            gam = gamma[None, :]
+            fnum = fj.one_mont((m8,))
+            gden = fj.one_mont((m8,))
+            for j in range(5):
+                fnum = fj.mont_mul(
+                    fnum, fj.add(fj.add(w8[j], fj.mont_mul(beta, ks_x_coset[j])), gam)
+                )
+                gden = fj.mont_mul(
+                    gden, fj.add(fj.add(w8[j], fj.mont_mul(beta, sigma_coset[j])), gam)
+                )
+            perm = fj.sub(fj.mont_mul(z8, fnum), fj.mont_mul(zw8, gden))
+            l1t = fj.mont_mul(fj.sub(z8, fj.one_mont((m8,))), l1_coset)
+            alpha2 = fj.mont_sqr(alpha)
+            F = fj.add(
+                gate, fj.add(fj.mont_mul(alpha, perm), fj.mont_mul(alpha2, l1t))
+            )
+            t8 = fj.mont_mul(F, inv_zh_coset)
         tc = coset_intt(t8, dom8, g)
         chunks = tc[: 5 * (n + 2)].reshape(5, n + 2, NLIMBS)
         tail = tc[5 * (n + 2) :]
@@ -291,23 +373,8 @@ def _kernels(n: int):
 
     @jax.jit
     def evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta_m, zw_m):
-        def pows(s):
-            # doubling ladder: [s^0..s^(L-1)] ++ that * s^L — ~n muls total,
-            # no prefix scan (associative_scan was a measured sore spot)
-            target = 1
-            while target < n + 3:
-                target <<= 1
-            arr = fj.one_mont((1,))
-            pk = s[None]
-            length = 1
-            while length < target:
-                arr = jnp.concatenate([arr, fj.mont_mul(arr, pk)], axis=0)
-                pk = fj.mont_mul(pk, pk)
-                length *= 2
-            return arr[: n + 3]
-
-        zeta_pows = pows(zeta_m)
-        zeta_om_pows = pows(zw_m)
+        zeta_pows = _pows(zeta_m, n + 3)
+        zeta_om_pows = _pows(zw_m, n + 3)
 
         def ev(c, pws):
             return fj.field_sum(fj.mont_mul(c, pws[: c.shape[0]]), axis=-2)
@@ -323,18 +390,23 @@ def _kernels(n: int):
         return fj.field_sum(fj.mont_mul(polys, scalars[:, None, :]), axis=0)
 
     @jax.jit
-    def open_phase(q_poly, q_eval, x2n, zeta_m):
-        """(q(X) - q_eval) / (X - zeta) via 2n-point evaluation division."""
-        m2 = 2 * n
-        q8 = ntt(_pad(q_poly, m2), dom2)
-        invd = fj.batch_inv_nonzero(fj.sub(x2n, zeta_m[None, :]))
-        w_evals = fj.mont_mul(fj.sub(q8, q_eval[None, :]), invd)
-        wc = intt(w_evals, dom2)
-        wc = wc[: n + 2]
+    def open_phase(q_poly, zeta_m, zeta_inv_m):
+        """(q(X) - q(zeta)) / (X - zeta) by suffix summation.
+
+        c_i = zeta^{-(i+1)} * S_{i+1} with S_i = sum_{j>=i} q_j zeta^j:
+        one elementwise multiply, a log-depth adds-only suffix ladder, one
+        more multiply — ~3m modmuls total (the round-1 version paid a
+        2n-point NTT + batched inversion + iNTT, ~100x more multiplies).
+        q(zeta) cancels out, so the evaluation is not even needed."""
+        m = q_poly.shape[0]  # n + 3
+        zp = _pows(zeta_m, m)
+        zip_ = _pows(zeta_inv_m, m)
+        s = fj.suffix_sum(fj.mont_mul(q_poly, zp))
+        wc = fj.mont_mul(s[1:], zip_[1:])[: n + 2]
         return wc, fj.from_mont(wc)
 
     return SimpleNamespace(
-        dom=dom, dom8=dom8, dom2=dom2, g=g,
+        dom=dom, dom8=dom8, g=g,
         gather_phase=gather_phase,
         wires_phase=wires_phase, z_phase=z_phase,
         quotient_phase=quotient_phase, evals_phase=evals_phase,
@@ -437,9 +509,6 @@ def preprocess_from_arrays(
     ]
     l1_coset = jnp.asarray(ints_to_limbs(l1_host, FR))
 
-    x2n_host = K.dom2.elements()
-    x2n_mont = jnp.asarray(ints_to_limbs(x2n_host, FR))
-
     vk = VerifyingKey(
         n=n, num_pub=num_pub, wire_ks=list(ks),
         selector_comms=selector_comms, sigma_comms=sigma_comms,
@@ -447,14 +516,13 @@ def preprocess_from_arrays(
     )
     pk = ProvingKey(
         vk=vk, n=n, num_pub=num_pub,
-        domain=K.dom, domain8=K.dom8, domain2=K.dom2, coset_shift=K.g,
+        domain=K.dom, domain8=K.dom8, coset_shift=K.g,
         wire_index=wire_index, sigma_values_host=sigma_values_host,
         wire_ks=list(ks),
         sel_coeffs=sel_coeffs, sigma_coeffs=sigma_coeffs,
         sel_coset=sel_coset, sigma_coset=sigma_coset,
         sigma_evals_dev=sigma_evals, ks_x_coset=ks_x_coset,
         coset_x=coset_x, l1_coset=l1_coset, inv_zh_coset=inv_zh_coset,
-        x2n_mont=x2n_mont,
     )
     pk.ks_x_dev = ks_x
     pk.srs = srs
@@ -490,7 +558,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             _t[0] = now
 
     n = pk.n
-    K = _kernels(n)
+    K = _kernels(n, _prover_mesh())
     srs = pk.srs
     p = FR.p
 
@@ -596,27 +664,20 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
         scalars.append((p - zh_zeta * pow(zeta, k_i * (n + 2), p)) % p)
     r_poly = K.lincomb(jnp.stack(polys), _mont_many(scalars))
 
-    # PI(zeta) and the expected evaluation r(zeta) = -r0
-    pi_zeta = eval_pub_poly(pub_inputs, zeta, pk.domain)
-    r0 = (
-        pi_zeta
-        - alpha2 * l1_zeta
-        - alpha * z_omega_eval % p * pi3 % p * ((abar[4] + gamma) % p)
-    ) % p
-    r_eval = (p - r0) % p
-
     # batched opening at zeta: r, a0..a4, sigma0..sigma3 with powers of v
+    # (r(zeta) itself is recomputed by the verifier; the suffix-sum opening
+    # kernel never needs the claimed evaluations — they cancel exactly)
     open_polys = [r_poly] + [srs_pad(wire_ext[j], m_r) for j in range(5)] + [
         srs_pad(pk.sigma_coeffs[j], m_r) for j in range(4)
     ]
-    open_evals = [r_eval] + wire_evs + sig_evs
     v_pows = [pow(v, i, p) for i in range(10)]
     q_poly = K.lincomb(jnp.stack(open_polys), _mont_many(v_pows))
-    q_eval = sum(vp * e for vp, e in zip(v_pows, open_evals)) % p
 
-    w_zeta_c, w_zeta_plain = K.open_phase(q_poly, _mont(q_eval), pk.x2n_mont, _mont(zeta))
+    w_zeta_c, w_zeta_plain = K.open_phase(
+        q_poly, _mont(zeta), _mont(pow(zeta, -1, p))
+    )
     w_om_c, w_om_plain = K.open_phase(
-        srs_pad(z_coeffs, m_r), _mont(z_omega_eval), pk.x2n_mont, _mont(zw)
+        srs_pad(z_coeffs, m_r), _mont(zw), _mont(pow(zw, -1, p))
     )
     w_comms = commit_batch(srs, jnp.stack([w_zeta_plain, w_om_plain]))
     _mark("round5 openings+commit")

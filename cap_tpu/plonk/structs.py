@@ -139,7 +139,6 @@ class ProvingKey:
     num_pub: int
     domain: object                 # NttDomain(n)
     domain8: object                # NttDomain(8n) for the quotient coset
-    domain2: object                # NttDomain(2n) for opening division
     coset_shift: int               # multiplicative coset generator g
     # host arithmetization (needed to re-gather witnesses)
     wire_index: list
@@ -155,4 +154,3 @@ class ProvingKey:
     coset_x: object                # [8n, 16] coset point values (Montgomery)
     l1_coset: object               # [8n, 16] L_1 on coset
     inv_zh_coset: object           # [8n, 16] 1/Z_H on coset
-    x2n_mont: object               # [2n, 16] H_2n points (Montgomery)

@@ -57,3 +57,11 @@ for i in range(k):
     want = g1_msm_host(scal_batch[i], pts)
     assert got[i] == want, f"poly {i} mismatch"
 print("signed MSM batch OK")
+
+# commit path (device Horner fold kernel / XLA fallback)
+res2 = ms.msm_signed_commit_device(tab, sb)
+got2 = ms.points_from_batch_result(res2)
+for i in range(k):
+    want = g1_msm_host(scal_batch[i], pts)
+    assert got2[i] == want, f"commit-fold poly {i} mismatch"
+print("signed MSM commit fold OK")
