@@ -126,6 +126,21 @@ def rand_point(rng) -> TEPoint:
     return GENERATOR.mul_scalar(rand_scalar(rng))
 
 
+def te_points_from_x(x: int) -> list:
+    """Both curve points with this x (one if y = 0, none if x invalid)."""
+    f = FR
+    x2 = f.sq(x)
+    num = f.sub(1, f.mul(COEFF_A, x2))
+    den = f.sub(1, f.mul(COEFF_D, x2))
+    y2 = f.div(num, den)
+    y = f.sqrt(y2)
+    if y is None:
+        return []
+    if y == 0:
+        return [TEPoint(x, 0)]
+    return [TEPoint(x, y), TEPoint(x, f.neg(y))]
+
+
 def point_from_x(x: int, y_parity: int) -> TEPoint | None:
     """Solve the curve equation for y given x; parity selects the root."""
     f = FR

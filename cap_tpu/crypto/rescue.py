@@ -52,8 +52,41 @@ def _expand_field_elements(field: PrimeField, label: bytes, count: int) -> list[
     return out
 
 
+def load_params_table(field: PrimeField, table: dict) -> RescueParams:
+    """Build RescueParams from an external constants table (bit-parity
+    injection point, VERDICT round-1 item 5 / SURVEY §4.7).
+
+    table: {"p": int-or-hex-str, "mds": 4x4, "round_keys": 25x4} — e.g.
+    jellyfish's published BN254 tables dumped to JSON.  Every consumer
+    (host permutation, circuit gadget, native C++ kernel, device batch
+    path) keys off rescue_params(), so pointing CAP_RESCUE_TABLE at such a
+    file swaps the whole stack's constants with no code change.
+    """
+    p = field.p
+    tp = table.get("p")
+    if tp is not None:
+        tp = int(tp, 0) if isinstance(tp, str) else int(tp)
+        if tp != p:
+            raise ValueError(f"rescue table is for p={tp:#x}, field has {p:#x}")
+    mds = tuple(tuple(int(v) % p for v in row) for row in table["mds"])
+    rks = tuple(tuple(int(v) % p for v in row) for row in table["round_keys"])
+    if len(mds) != STATE_WIDTH or any(len(r) != STATE_WIDTH for r in mds):
+        raise ValueError("rescue table: mds must be 4x4")
+    if len(rks) != 2 * ROUNDS + 1 or any(len(r) != STATE_WIDTH for r in rks):
+        raise ValueError("rescue table: round_keys must be 25x4")
+    alpha = int(table.get("alpha", ALPHA))
+    return RescueParams(field, alpha, pow(alpha, -1, p - 1), mds, rks)
+
+
 @lru_cache(maxsize=None)
 def rescue_params(field: PrimeField = FR) -> RescueParams:
+    import json
+    import os
+
+    path = os.environ.get("CAP_RESCUE_TABLE")
+    if path and field.name == "bn254::Fr":
+        with open(path) as f:
+            return load_params_table(field, json.load(f))
     p = field.p
     assert (p - 1) % ALPHA != 0, "alpha must be coprime to p-1"
     alpha_inv = pow(ALPHA, -1, p - 1)

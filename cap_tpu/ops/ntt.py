@@ -140,14 +140,27 @@ def _emul(x, y, field: PrimeField):
     return fj.mont_mul(x, y, ctx)
 
 
-def ntt(coeffs, domain: NttDomain):
-    """Coefficients -> evaluations on H (natural order). [n,16] Montgomery."""
+def ntt(coeffs, domain: NttDomain, mxu=None):
+    """Coefficients -> evaluations on H (natural order). [n,16] Montgomery.
+
+    mxu: optional ntt_mxu.MxuNttTables routing the transform through the
+    int8-matmul MXU path.  Tables must be threaded in as jit ARGUMENTS —
+    this runtime embeds closed-over device arrays into the remote-compile
+    payload, and the big-domain tables exceed its size limit."""
+    if mxu is not None:
+        from cap_tpu.ops import ntt_mxu as nm
+
+        return nm.ntt_mxu(coeffs, mxu, domain.field)
     x = coeffs[jnp.asarray(domain.bitrev)]
     return _ntt_core(x, domain.stage_tw, domain.n, domain.field)
 
 
-def intt(evals, domain: NttDomain):
+def intt(evals, domain: NttDomain, mxu=None):
     """Evaluations on H -> coefficients. [n,16] Montgomery."""
+    if mxu is not None:
+        from cap_tpu.ops import ntt_mxu as nm
+
+        return nm.ntt_mxu(evals, mxu, domain.field)
     x = evals[jnp.asarray(domain.bitrev)]
     x = _ntt_core(x, domain.stage_tw_inv, domain.n, domain.field)
     scale = jnp.broadcast_to(jnp.asarray(domain.n_inv_mont), x.shape)
@@ -167,15 +180,25 @@ def _coset_tables(n: int, shift: int, field: PrimeField = FR):
     return ints_to_limbs(pows, field), ints_to_limbs(inv_pows, field)
 
 
-def coset_ntt(coeffs, domain: NttDomain, shift: int):
-    """Evaluate on the coset shift*H: scale coefficient i by shift^i, then NTT."""
+def coset_ntt(coeffs, domain: NttDomain, shift: int, mxu=None):
+    """Evaluate on the coset shift*H: scale coefficient i by shift^i, then NTT.
+
+    mxu: optional coset-folded MxuNttTables (built with shift=)."""
+    if mxu is not None:
+        from cap_tpu.ops import ntt_mxu as nm
+
+        return nm.ntt_mxu(coeffs, mxu, domain.field)
     pows, _ = _coset_tables(domain.n, shift, domain.field)
     scaled = _emul(coeffs, jnp.asarray(pows), domain.field)
     return ntt(scaled, domain)
 
 
-def coset_intt(evals, domain: NttDomain, shift: int):
+def coset_intt(evals, domain: NttDomain, shift: int, mxu=None):
     """Inverse of coset_ntt."""
+    if mxu is not None:
+        from cap_tpu.ops import ntt_mxu as nm
+
+        return nm.ntt_mxu(evals, mxu, domain.field)
     _, inv_pows = _coset_tables(domain.n, shift, domain.field)
     coeffs = intt(evals, domain)
     return _emul(coeffs, jnp.asarray(inv_pows), domain.field)

@@ -109,6 +109,32 @@ def _prover_mesh():
 
 
 @lru_cache(maxsize=None)
+def _mxu_pack(n: int):
+    """MXU NTT table sets for the prove path at domain n (None entries fall
+    back to radix-2 butterflies).  Only built on TPU for domains where the
+    radix-2 path leaves the fast VMEM regime; must be threaded through the
+    jitted phases as arguments (see ops/ntt_mxu.py pytree note)."""
+    import os
+
+    if os.environ.get("CAP_NTT_MXU", "1") != "1" or jax.default_backend() != "tpu":
+        return {"intt_n": None, "cos8_fwd": None, "cos8_inv": None}
+    from cap_tpu.ops import ntt_mxu as nm
+
+    g = COSET_SHIFT_FOR(n)
+
+    def mk(size, inverse, shift):
+        if size < (1 << 15):
+            return None
+        return nm.mxu_tables(size, FR, inverse=inverse, shift=shift)
+
+    return {
+        "intt_n": mk(n, True, None),
+        "cos8_fwd": mk(8 * n, False, g),
+        "cos8_inv": mk(8 * n, True, g),
+    }
+
+
+@lru_cache(maxsize=None)
 def _mesh_commit_fn(mesh):
     from cap_tpu.parallel import mesh as pm
 
@@ -231,9 +257,14 @@ def _kernels(n: int, mesh=None):
         return fj.to_mont(gathered)
 
     @jax.jit
-    def wires_phase(wire_evals, blinds):
+    def wires_phase(wire_evals, blinds, intt_tabs=None):
         """[5,n,16] evals + [5,2,16] blinds -> ([5,n+2,16] mont, plain)."""
-        coeffs = jax.vmap(lambda e: intt(e, dom))(wire_evals)
+        if intt_tabs is not None:
+            from cap_tpu.ops import ntt_mxu as nm
+
+            coeffs = nm.ntt_mxu_batch(wire_evals, intt_tabs)
+        else:
+            coeffs = jax.vmap(lambda e: intt(e, dom))(wire_evals)
         ext = jnp.concatenate(
             [coeffs, jnp.zeros((5, 2, NLIMBS), jnp.uint32)], axis=1
         )
@@ -253,7 +284,8 @@ def _kernels(n: int, mesh=None):
         return None
 
     @jax.jit
-    def z_phase(wire_evals, sigma_evals, ks_x, beta, gamma, blinds):
+    def z_phase(wire_evals, sigma_evals, ks_x, beta, gamma, blinds,
+                intt_tabs=None):
         """Grand product z: returns ([n+3,16] mont coeffs, plain)."""
         from cap_tpu.ops import pallas_field as pfl
 
@@ -282,7 +314,7 @@ def _kernels(n: int, mesh=None):
         total_inv = fj.inv(sden[:1])
         z_main = fj.mont_mul(fj.mont_mul(pnum[:-1], sden[1:]), total_inv)
         z_evals = jnp.concatenate([fj.one_mont((1,)), z_main], axis=0)
-        zc = intt(z_evals, dom)
+        zc = intt(z_evals, dom, mxu=intt_tabs)
         zc = jnp.concatenate([zc, jnp.zeros((3, NLIMBS), jnp.uint32)], axis=0)
         b0, b1, b2 = blinds[0], blinds[1], blinds[2]
         zc = zc.at[0].set(fj.sub(zc[0], b2))
@@ -302,13 +334,27 @@ def _kernels(n: int, mesh=None):
         wire_ext, z_coeffs, pub_mont,
         sel_coset, sigma_coset, ks_x_coset, l1_coset, inv_zh_coset,
         alpha, beta, gamma,
+        intt_tabs=None, cos8_fwd=None, cos8_inv=None,
     ):
         m8 = 8 * n
-        w8 = jax.vmap(lambda c: coset_ntt(_pad(c, m8), dom8, g))(wire_ext)
-        z8 = coset_ntt(_pad(z_coeffs, m8), dom8, g)
-        zw8 = jnp.roll(z8, -8, axis=0)
         pub_evals = _pad(pub_mont, n)  # PI poly is zero past the pub rows
-        pi8 = coset_ntt(_pad(intt(pub_evals, dom), m8), dom8, g)
+        pi_coeffs = intt(pub_evals, dom, mxu=intt_tabs)
+        if cos8_fwd is not None:
+            from cap_tpu.ops import ntt_mxu as nm
+
+            stack = jnp.stack(
+                [_pad(wire_ext[j], m8) for j in range(5)]
+                + [_pad(z_coeffs, m8), _pad(pi_coeffs, m8)]
+            )
+            ev8 = nm.ntt_mxu_batch(stack, cos8_fwd)
+            w8 = ev8[:5]
+            z8 = ev8[5]
+            pi8 = ev8[6]
+        else:
+            w8 = jax.vmap(lambda c: coset_ntt(_pad(c, m8), dom8, g))(wire_ext)
+            z8 = coset_ntt(_pad(z_coeffs, m8), dom8, g)
+            pi8 = coset_ntt(_pad(pi_coeffs, m8), dom8, g)
+        zw8 = jnp.roll(z8, -8, axis=0)
 
         from cap_tpu.ops import pallas_field as pfl
 
@@ -366,23 +412,45 @@ def _kernels(n: int, mesh=None):
                 gate, fj.add(fj.mont_mul(alpha, perm), fj.mont_mul(alpha2, l1t))
             )
             t8 = fj.mont_mul(F, inv_zh_coset)
-        tc = coset_intt(t8, dom8, g)
+        tc = coset_intt(t8, dom8, g, mxu=cos8_inv)
         chunks = tc[: 5 * (n + 2)].reshape(5, n + 2, NLIMBS)
         tail = tc[5 * (n + 2) :]
         return chunks, fj.from_mont(chunks), fj.is_zero(tail).all()
 
+    def _mm_flat(x, y):
+        """Elementwise mont_mul on arbitrary [m,16] via the flat Pallas
+        kernel (padded to a block multiple); scan-XLA off-TPU."""
+        from cap_tpu.ops import pallas_field as pfl
+
+        if not pfl.use_pallas():
+            return fj.mont_mul(x, y)
+        m = x.shape[0]
+        mp = ((m + pfl.BLK - 1) // pfl.BLK) * pfl.BLK
+        pad = ((0, mp - m), (0, 0))
+        return pfl.mont_mul_pallas(jnp.pad(x, pad), jnp.pad(y, pad))[:m]
+
     @jax.jit
     def evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta_m, zw_m):
+        """All 11 openings in one fused multiply + one vectorized tree-sum."""
         zeta_pows = _pows(zeta_m, n + 3)
         zeta_om_pows = _pows(zw_m, n + 3)
 
-        def ev(c, pws):
-            return fj.field_sum(fj.mont_mul(c, pws[: c.shape[0]]), axis=-2)
+        def pad(c):
+            return jnp.concatenate(
+                [c, jnp.zeros((n + 3 - c.shape[0], NLIMBS), jnp.uint32)], axis=0
+            )
 
-        wire_evs = jax.vmap(lambda c: ev(c, zeta_pows))(wire_ext)
-        sig_evs = jax.vmap(lambda c: ev(c, zeta_pows))(sigma_coeffs)
-        z_om = ev(z_coeffs, zeta_om_pows)
-        return wire_evs, sig_evs, z_om
+        polys = jnp.stack(
+            [pad(wire_ext[j]) for j in range(5)]
+            + [pad(sigma_coeffs[j]) for j in range(5)]
+            + [pad(z_coeffs)]
+        )  # [11, n+3, 16]
+        pws = jnp.stack([zeta_pows] * 10 + [zeta_om_pows])
+        prods = _mm_flat(
+            polys.reshape(11 * (n + 3), NLIMBS), pws.reshape(11 * (n + 3), NLIMBS)
+        ).reshape(11, n + 3, NLIMBS)
+        evs = fj.field_sum(prods, axis=-2)  # [11, 16]
+        return evs[:5], evs[5:10], evs[10]
 
     @jax.jit
     def lincomb(polys, scalars):
@@ -582,7 +650,8 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
         pk.wire_index_dev = wire_idx
     wire_evals = K.gather_phase(wit_u16, wire_idx)
     blinds1 = _mont_many([FR.rand(rng) for _ in range(10)]).reshape(5, 2, NLIMBS)
-    wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1)
+    mxu = _mxu_pack(n)
+    wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1, mxu["intt_n"])
     _mark("pack+to_mont")
     wire_comms = commit_batch(srs, wire_plain)
     _mark("round1 wires+commit")
@@ -593,7 +662,8 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     # round 2 — permutation grand product
     blinds_z = _mont_many([FR.rand(rng) for _ in range(3)])
     z_coeffs, z_plain = K.z_phase(
-        wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma), blinds_z
+        wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma),
+        blinds_z, mxu["intt_n"],
     )
     z_comm = commit_batch(srs, z_plain[None])[0]
     _mark("round2 z+commit")
@@ -606,6 +676,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
         wire_ext, z_coeffs, pub_mont,
         pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset, pk.inv_zh_coset,
         _mont(alpha), _mont(beta), _mont(gamma),
+        mxu["intt_n"], mxu["cos8_fwd"], mxu["cos8_inv"],
     )
     t_comms = commit_batch(srs, t_plain)
     _mark("round3 quotient+commit")

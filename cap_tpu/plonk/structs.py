@@ -45,8 +45,8 @@ class PlonkProof:
         pts = []
         off = 0
         for _ in range(13):
-            pts.append(g1_from_bytes(data[off : off + 33]))
-            off += 33
+            pts.append(g1_from_bytes(data[off : off + 32]))
+            off += 32
         vals = []
         for _ in range(10):
             vals.append(FR.from_bytes_le(data[off : off + 32]))
@@ -91,7 +91,7 @@ class VerifyingKey:
         no pickle — a verifying key must load from untrusted bytes safely).
 
         Layout: n (8 LE) || num_pub (8 LE) || 5 x wire_k (32 LE) ||
-        13 selector comms (33 B each, SELECTORS order) || 5 sigma comms ||
+        13 selector comms (32 B each, ark-compressed) || 5 sigma comms ||
         g2_gen (128 B) || g2_tau (128 B)."""
         from cap_tpu.plonk.circuit import SELECTORS
         from cap_tpu.utils.serde import g1_to_bytes, g2_to_bytes
@@ -111,7 +111,7 @@ class VerifyingKey:
         from cap_tpu.plonk.circuit import SELECTORS
         from cap_tpu.utils.serde import g1_from_bytes, g2_from_bytes
 
-        exp = 16 + 5 * 32 + 18 * 33 + 2 * 128
+        exp = 16 + 5 * 32 + 18 * 32 + 2 * 128
         if len(data) != exp:
             raise ValueError(f"verifying key must be {exp} bytes, got {len(data)}")
         off = 0
@@ -122,7 +122,7 @@ class VerifyingKey:
             wire_ks.append(FR.from_bytes_le(data[off : off + 32])); off += 32
         comms = []
         for _ in range(18):
-            comms.append(g1_from_bytes(data[off : off + 33])); off += 33
+            comms.append(g1_from_bytes(data[off : off + 32])); off += 32
         g2_gen = g2_from_bytes(data[off : off + 128]); off += 128
         g2_tau = g2_from_bytes(data[off : off + 128]); off += 128
         return cls(

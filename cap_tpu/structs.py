@@ -475,16 +475,16 @@ class RecordOpening:
             off = 0
             amount = int.from_bytes(data[off : off + 16], "little"); off += 16
             code = AssetCode(FR.from_bytes_le(data[off : off + 32])); off += 32
-            viewer = te_point_from_bytes(data[off : off + 33]); off += 33
-            cred = te_point_from_bytes(data[off : off + 33]); off += 33
-            freezer = te_point_from_bytes(data[off : off + 33]); off += 33
+            viewer = te_point_from_bytes(data[off : off + 32]); off += 32
+            cred = te_point_from_bytes(data[off : off + 32]); off += 32
+            freezer = te_point_from_bytes(data[off : off + 32]); off += 32
             rm_scalar = int.from_bytes(data[off : off + 2], "little"); off += 2
             bits = tuple(
                 bool((rm_scalar >> (VIEWABLE_DATA_LEN - 1 - i)) & 1)
                 for i in range(VIEWABLE_DATA_LEN)
             )
             threshold = int.from_bytes(data[off : off + 16], "little"); off += 16
-            addr = te_point_from_bytes(data[off : off + 33]); off += 33
+            addr = te_point_from_bytes(data[off : off + 32]); off += 32
             enc_key = AeadEncKey(data[off : off + 32]); off += 32
             flag = data[off]; off += 1
             blind = FR.from_bytes_le(data[off : off + 32]); off += 32

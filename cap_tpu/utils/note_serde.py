@@ -90,7 +90,7 @@ class _R:
         return int.from_bytes(self.take(16), "little")
 
     def pt(self):
-        return te_point_from_bytes(self.take(33))
+        return te_point_from_bytes(self.take(32))
 
     def raw(self):
         return self.take(self.u16())

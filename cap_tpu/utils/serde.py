@@ -1,12 +1,23 @@
 """Serialization: points, field elements, tagged-base64 strings.
 
 Centralizes every byte layout in one place (SURVEY.md §7 "hard parts" (6)).
-Formats are self-consistent and versioned; arkworks byte-parity is a
-data-only change localized here.
+Point and field layouts follow **arkworks 0.3 CanonicalSerialize** (the
+reference's wire format, `Cargo.toml:15-25`):
 
-G1 points: 33 bytes = 32-byte LE x || flag byte (0 = even y, 1 = odd y,
-2 = infinity).  Field elements: 32-byte LE.  Tagged blobs: `TAG~base64url`
-with a 4-byte Keccak checksum suffix, mirroring jf_utils::tagged_blob.
+  * field elements: canonical (non-Montgomery) little-endian, 32 bytes;
+  * G1 (short Weierstrass) compressed: 32-byte LE x with 2 flag bits in
+    the top of the last byte — bit 6 = infinity, bit 7 = "positive y"
+    (y > p - y, arkworks' `from_y_sign(self.y > -self.y)`);
+  * Baby Jubjub (twisted Edwards) compressed: 32-byte LE x with bit 7 =
+    positive y (EdwardsFlags, BIT_SIZE 1); identity = all-zero bytes;
+  * G2: x = (c0 || c1) 64 bytes LE with SW flags on the last byte; the
+    y sign compares (c1, c0) lexicographically (ark QuadExtField Ord).
+
+The flag-bit polarity (Positive vs Negative setting bit 7) is pinned by
+the `_SW_POSITIVE_BIT` / `_TE_POSITIVE_BIT` constants below — if real
+arkworks vectors ever disagree, the fix is those two constants.
+Tagged blobs: `TAG~base64url` with a 4-byte Keccak checksum suffix,
+mirroring jf_utils::tagged_blob.
 """
 
 from __future__ import annotations
@@ -16,43 +27,69 @@ import base64
 from cap_tpu.crypto.keccak import keccak256
 from cap_tpu.fields.host import FQ, FR
 
+_SW_INFINITY_BIT = 1 << 6
+_SW_POSITIVE_BIT = 1 << 7   # SWFlags::PositiveY (ark-serialize 0.3)
+_TE_POSITIVE_BIT = 1 << 7   # EdwardsFlags::PositiveY
+
+
+def _is_positive(y: int, p: int) -> bool:
+    """arkworks y-sign: positive iff y > -y (i.e. y > p - y)."""
+    return y > p - y
+
 
 def g1_to_bytes(pt) -> bytes:
+    """arkworks-compressed G1: x LE with flags in the last byte."""
     if pt is None:
-        return b"\x00" * 32 + b"\x02"
+        out = bytearray(32)
+        out[31] |= _SW_INFINITY_BIT
+        return bytes(out)
     x, y = pt
-    return FQ.to_bytes_le(x) + bytes([y & 1])
+    out = bytearray(FQ.to_bytes_le(x))
+    if _is_positive(y, FQ.p):
+        out[31] |= _SW_POSITIVE_BIT
+    return bytes(out)
 
 
 def g1_from_bytes(data: bytes):
-    assert len(data) == 33
-    flag = data[32]
-    if flag == 2:
+    assert len(data) == 32
+    flags = data[31] & 0xC0
+    body = bytes(data[:31]) + bytes([data[31] & 0x3F])
+    if flags & _SW_INFINITY_BIT:
+        if any(body):
+            raise ValueError("G1 infinity with nonzero coordinate")
         return None
-    x = FQ.from_bytes_le(data[:32])
+    x = FQ.from_bytes_le(body)
     # y^2 = x^3 + 3
     y2 = (x * x % FQ.p * x + 3) % FQ.p
     y = FQ.sqrt(y2)
     if y is None:
         raise ValueError("invalid G1 x-coordinate")
-    if y & 1 != flag:
+    if _is_positive(y, FQ.p) != bool(flags & _SW_POSITIVE_BIT):
         y = FQ.p - y
     return (x, y)
 
 
 def te_point_to_bytes(pt) -> bytes:
-    """Baby Jubjub point: 32-byte LE x || y-parity byte."""
-    return FR.to_bytes_le(pt.x) + bytes([pt.y & 1])
+    """Baby Jubjub, arkworks-compressed: x LE with the y-sign flag bit."""
+    out = bytearray(FR.to_bytes_le(pt.x))
+    if _is_positive(pt.y, FR.p):
+        out[31] |= _TE_POSITIVE_BIT
+    return bytes(out)
 
 
 def te_point_from_bytes(data: bytes):
-    from cap_tpu.crypto.jubjub import point_from_x
+    from cap_tpu.crypto.jubjub import te_points_from_x
 
-    assert len(data) == 33
-    x = FR.from_bytes_le(data[:32])
-    pt = point_from_x(x, data[32])
-    if pt is None:
+    assert len(data) == 32
+    positive = bool(data[31] & _TE_POSITIVE_BIT)
+    body = bytes(data[:31]) + bytes([data[31] & 0x7F])
+    x = FR.from_bytes_le(body)
+    cands = te_points_from_x(x)
+    if not cands:
         raise ValueError("invalid jubjub x-coordinate")
+    pt = next(
+        (c for c in cands if _is_positive(c.y, FR.p) == positive), cands[0]
+    )
     if not (pt.is_neutral() or pt.in_subgroup()):
         # cofactor-8 subgroup check on every deserialized point
         # (reference structs.rs:1425-1591 / ark CanonicalDeserialize)

@@ -132,7 +132,7 @@ def user_pub_key_from_string(s: str):
     from cap_tpu.keys import UserPubKey
 
     data = untag_blob(TAGS["user_pub_key"], s)
-    return UserPubKey(te_point_from_bytes(data[:33]), AeadEncKey(data[33:65]))
+    return UserPubKey(te_point_from_bytes(data[:32]), AeadEncKey(data[32:64]))
 
 
 def signature_to_string(sig) -> str:
@@ -145,7 +145,7 @@ def signature_from_string(s: str):
 
     data = untag_blob(TAGS["signature"], s)
     return SchnorrSignature(
-        te_point_from_bytes(data[:33]), int.from_bytes(data[33:65], "little")
+        te_point_from_bytes(data[:32]), int.from_bytes(data[32:64], "little")
     )
 
 

@@ -112,10 +112,10 @@ def bench_quotient():
     al2 = fj.mont_sqr(al)
     sc4 = jnp.stack([al, al2, be, ga])
 
-    reps = max(1, CHAIN // 8)
+    reps = 2
 
     @jax.jit
-    def f_pl(z8):
+    def f_pl(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, sc4):
         out = None
         for _ in range(reps):
             out = phk.quotient_eval_pallas(
@@ -124,18 +124,20 @@ def bench_quotient():
             z8 = out
         return out[:1]
 
-    t = timeit("quotient eval pallas 2^18 chained", lambda: f_pl(z8))
+    t = timeit("quotient eval pallas 2^18 chained",
+               lambda: f_pl(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, sc4))
     print(f"    -> {t/reps*1e3:.1f} ms per eval")
 
     @jax.jit
-    def f_x(z8):
+    def f_x(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, al, be, ga):
         out = None
         for _ in range(reps):
             out = _quotient_eval_xla(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, al, be, ga)
             z8 = out
         return out[:1]
 
-    t = timeit("quotient eval scan-XLA 2^18 chained", lambda: f_x(z8))
+    t = timeit("quotient eval scan-XLA 2^18 chained",
+               lambda: f_x(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, al, be, ga))
     print(f"    -> {t/reps*1e3:.1f} ms per eval")
 
 
@@ -151,13 +153,13 @@ def bench_z():
     reps = max(1, CHAIN // 4)
 
     @jax.jit
-    def f_pl(w):
+    def f_pl(w, sig, ksx, sc2):
         for _ in range(reps):
             num, den = phk.z_numden_pallas(w, sig, ksx, sc2)
             w = w.at[0].set(num)
         return num[:1]
 
-    t = timeit("z num/den pallas 2^15 chained", lambda: f_pl(w))
+    t = timeit("z num/den pallas 2^15 chained", lambda: f_pl(w, sig, ksx, sc2))
     print(f"    -> {t/reps*1e3:.2f} ms per eval")
 
     @jax.jit
