@@ -42,7 +42,7 @@ class CapConfig:
         return DUMMY_ASSET_CODE
 
 
-#: The default (and currently only) instance — BN254 with Baby Jubjub.
+#: The default instance — BN254 with Baby Jubjub.
 Config = CapConfig(
     name="bn254",
     base_field=FQ,
@@ -50,3 +50,23 @@ Config = CapConfig(
     embedded_scalar_field=FR_EMB,
     embedded_generator=jubjub.GENERATOR,
 )
+
+
+def bls12_377_scalar_config() -> CapConfig:
+    """BLS12-377 seam instance (reference config.rs:63-84 bls12_377 feature).
+
+    The scalar field is fully live — field arithmetic, NTT domains, and the
+    MXU matmul path are generic over its constants (tests/test_multicurve.py).
+    The 377-bit base field needs the 24-limb layout extension and the
+    ed_on_bls12_377 embedded curve constants before proofs can run on this
+    curve; until then base/embedded entries are None and any use raises.
+    """
+    from cap_tpu.fields.host import FR_BLS12_377
+
+    return CapConfig(
+        name="bls12_377",
+        base_field=None,
+        scalar_field=FR_BLS12_377,
+        embedded_scalar_field=None,
+        embedded_generator=None,
+    )

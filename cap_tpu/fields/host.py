@@ -242,6 +242,15 @@ FQ = PrimeField(BN254_FQ, "bn254::Fq")
 FR = PrimeField(BN254_FR, "bn254::Fr")
 FR_EMB = PrimeField(BABYJUBJUB_FR, "jubjub::Fr")
 
+# BLS12-377 scalar field (reference config.rs:63-84 bls12_377 feature; SRS
+# degrees double on this curve, src/utils/mod.rs:144-192).  253 bits — fits
+# the 16x16-bit limb layout, so the whole field/NTT/MXU stack is generic
+# over it (tests/test_multicurve.py proves the seam).  The 377-bit base
+# field needs a 24-limb layout — that widening plus the ed_on_bls12_377
+# embedded curve are the remaining constants for a full bls12_377 Config.
+BLS12_377_FR = 0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001
+FR_BLS12_377 = PrimeField(BLS12_377_FR, "bls12_377::Fr")
+
 
 def fr_to_fq_emb(a: int) -> int:
     """Embed an embedded-curve scalar into the circuit field Fr.

@@ -81,7 +81,9 @@ def _fold_tables(field: PrimeField):
             [int((ra >> (16 * j)) & 0xFFFF) for j in range(NLIMBS)], ra,
             [int((rb >> (16 * j)) & 0xFFFF) for j in range(NLIMBS)], rb,
         ))
-    return jnp.asarray(fold), rtabs
+    # NOTE: numpy, not jnp — this is lru_cached and may first run inside a
+    # trace; caching a trace-time jnp constant leaks the tracer.
+    return fold, rtabs
 
 
 def _carry7(cols, bound: int):

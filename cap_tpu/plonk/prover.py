@@ -494,11 +494,13 @@ def preprocess(srs: srs_mod.UniversalSrs, circuit: PlonkCircuit):
         np.stack([ints_to_limbs(fin.selectors[name], FR) for name in SELECTORS])
     )
     sigma_evals = jnp.asarray(np.stack([ints_to_limbs(s, FR) for s in fin.sigma_values]))
-    return preprocess_from_arrays(
+    pk, vk = preprocess_from_arrays(
         srs, fin.n, fin.num_pub, list(fin.wire_ks),
         np.asarray(fin.wire_index, dtype=np.int32),
         sel_evals, sigma_evals, sigma_values_host=fin.sigma_values,
     )
+    pk.num_gates = circuit.num_gates()
+    return pk, vk
 
 
 def preprocess_from_arrays(

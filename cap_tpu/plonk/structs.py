@@ -154,3 +154,4 @@ class ProvingKey:
     coset_x: object                # [8n, 16] coset point values (Montgomery)
     l1_coset: object               # [8n, 16] L_1 on coset
     inv_zh_coset: object           # [8n, 16] 1/Z_H on coset
+    num_gates: int = 0             # pre-padding constraint count (reports)
