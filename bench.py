@@ -215,6 +215,31 @@ def bench_batch_verify(reps: int):
     }
 
 
+def bench_grid(reps: int):
+    """The reference criterion grid at depth 26 (bench_utils.run_grid);
+    emits the CSV to /tmp/cap_tpu_benchmark.csv and a summary JSON line."""
+    import csv
+    import io
+
+    from cap_tpu.bench_utils import run_grid
+
+    out = run_grid()
+    rows = list(csv.DictReader(io.StringIO(out)))
+    t22 = next(
+        (r for r in rows
+         if r["TRANSACTION"] == "TRANSFER" and r["FUNCTION"] == "generate"
+         and r["N_INPUTS"] == "2" and r["N_OUTPUTS"] == "2"),
+        None,
+    )
+    val = float(t22["TIME_MS"]) / 1e3 if t22 else 0.0
+    return {
+        "metric": "transfer_2in2out_depth26_prove_seconds",
+        "value": round(val, 3),
+        "unit": "seconds",
+        "vs_baseline": round(RUST_BASELINE_TRANSFER_S / val, 3) if val else 0.0,
+    }
+
+
 def main():
     kind = os.environ.get("CAP_BENCH", "transfer")
     reps = int(os.environ.get("CAP_BENCH_REPS", "3"))
@@ -228,6 +253,8 @@ def main():
         result = bench_ntt(reps)
     elif kind == "msm":
         result = bench_msm(reps)
+    elif kind == "grid":
+        result = bench_grid(reps)
     else:
         raise SystemExit(f"unknown CAP_BENCH={kind}")
     print(json.dumps(result))

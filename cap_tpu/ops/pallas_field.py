@@ -166,10 +166,20 @@ def ec_add_mixed_pallas_tiled(acc_tiled, g_tiled, mask3):
     return tuple(out)
 
 
+import os as _os
+
+_GRP_MAX = int(_os.environ.get("CAP_PALLAS_GRP", "8"))
+
+
 def _grp_for(n128: int) -> int:
-    """Largest sublane group count in {8,4,2,1} dividing the tile row count."""
-    for g in (8, 4, 2, 1):
-        if n128 % g == 0:
+    """Largest sublane group count dividing the tile row count.
+
+    8 rows = one (8,128) vreg per limb slice.  Wider blocks were probed for
+    extra ILP against the EC kernel's serial borrow chains: grp=16 measured
+    identical throughput and grp=32 overflows VMEM on the 6-operand
+    projective-add kernel, so 8 stays the default."""
+    for g in (_GRP_MAX, 8, 4, 2, 1):
+        if g <= _GRP_MAX and n128 % g == 0:
             return g
     return 1
 

@@ -123,7 +123,10 @@ def _mxu_pack(n: int):
     g = COSET_SHIFT_FOR(n)
 
     def mk(size, inverse, shift):
-        if size < (1 << 15):
+        # Below 2^15 the radix-2 butterflies stay in the fast VMEM regime;
+        # above 2^19 the [73, a, k*b] int32 accumulation workspace starts
+        # competing with the 2^17-SRS digit table for HBM.
+        if size < (1 << 15) or size > (1 << 19):
             return None
         return nm.mxu_tables(size, FR, inverse=inverse, shift=shift)
 
@@ -455,7 +458,14 @@ def _kernels(n: int, mesh=None):
     @jax.jit
     def lincomb(polys, scalars):
         """[k,m,16] mont polys x [k,16] mont scalars -> [m,16]."""
-        return fj.field_sum(fj.mont_mul(polys, scalars[:, None, :]), axis=0)
+        k, m, _ = polys.shape
+        prods = _mm_flat(
+            polys.reshape(k * m, NLIMBS),
+            jnp.broadcast_to(scalars[:, None, :], (k, m, NLIMBS)).reshape(
+                k * m, NLIMBS
+            ),
+        ).reshape(k, m, NLIMBS)
+        return fj.field_sum(prods, axis=0)
 
     @jax.jit
     def open_phase(q_poly, zeta_m, zeta_inv_m):
@@ -469,8 +479,8 @@ def _kernels(n: int, mesh=None):
         m = q_poly.shape[0]  # n + 3
         zp = _pows(zeta_m, m)
         zip_ = _pows(zeta_inv_m, m)
-        s = fj.suffix_sum(fj.mont_mul(q_poly, zp))
-        wc = fj.mont_mul(s[1:], zip_[1:])[: n + 2]
+        s = fj.suffix_sum(_mm_flat(q_poly, zp))
+        wc = _mm_flat(s[1:], zip_[1:])[: n + 2]
         return wc, fj.from_mont(wc)
 
     return SimpleNamespace(

@@ -226,3 +226,83 @@ def keccak_f1600(state25: list) -> list | None:
     buf = (ctypes.c_uint64 * 25)(*state25)
     _lib.cap_keccak_f1600(buf)
     return list(buf)
+
+
+_pairing_ready = False
+
+
+def _ensure_pairing() -> bool:
+    """Lazy pairing init: Python computes the frobenius gamma tables and the
+    ate loop bits and hands them to the C++ side (which holds no curve
+    constants of its own)."""
+    global _pairing_ready
+    if _pairing_ready:
+        return True
+    if not HAVE_NATIVE:
+        return False
+    from cap_tpu.crypto.bn254 import (
+        ATE_LOOP_COUNT,
+        BN_X,
+        Fq2,
+        _FROB_X,
+        _FROB_Y,
+    )
+
+    p = FQ.p
+    montq = lambda v: _to_limbs64(v % p * _R256_FQ % p)
+
+    def pack_f2(v):
+        return list(montq(v.c0)) + list(montq(v.c1))
+
+    xi = Fq2(9, 1)
+    gam = []
+    for e in (1, 2, 3):
+        base = xi.pow((p**e - 1) // 6)
+        acc = base
+        for i in range(5):
+            gam.extend(pack_f2(acc))
+            acc = acc * base
+    frob_xy = pack_f2(_FROB_X) + pack_f2(_FROB_Y)
+    nbits = ATE_LOOP_COUNT.bit_length()
+    bits = [(ATE_LOOP_COUNT >> (nbits - 1 - i)) & 1 for i in range(nbits)]
+    _lib.cap_pairing_init(
+        (ctypes.c_uint64 * len(gam))(*gam),
+        (ctypes.c_uint64 * len(frob_xy))(*frob_xy),
+        ctypes.c_uint64(BN_X),
+        (ctypes.c_int * nbits)(*bits),
+        ctypes.c_int(nbits),
+        U64_4(*montq(9)),
+    )
+    _pairing_ready = True
+    return True
+
+
+def pairing_check(pairs) -> bool | None:
+    """Native multi-pairing check: prod e(P_i, Q_i) == 1.
+
+    pairs: list of (g1_affine_or_None, g2_affine (Fq2 pair) or None).
+    Returns None if the native library is unavailable.
+    """
+    if not _ensure_pairing():
+        return None
+    n = len(pairs)
+    if n == 0:
+        return True
+    p = FQ.p
+    g1 = (ctypes.c_uint64 * (8 * n))()
+    g2 = (ctypes.c_uint64 * (16 * n))()
+    skip = (ctypes.c_int * n)()
+    for i, (pt, q) in enumerate(pairs):
+        if pt is None or q is None:
+            skip[i] = 1
+            continue
+        for j, coord in enumerate((pt[0], pt[1])):
+            m = coord % p * _R256_FQ % p
+            for k in range(4):
+                g1[8 * i + 4 * j + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+        qx, qy = q
+        for j, coord in enumerate((qx.c0, qx.c1, qy.c0, qy.c1)):
+            m = coord % p * _R256_FQ % p
+            for k in range(4):
+                g2[16 * i + 4 * j + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    return bool(_lib.cap_pairing_check(g1, g2, skip, ctypes.c_int(n)))

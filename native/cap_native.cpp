@@ -700,4 +700,356 @@ void cap_keccak_f1600(u64* a) {
     }
 }
 
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BN254 optimal-ate pairing (tower Fq2/Fq6/Fq12, affine Miller loop with
+// lines assembled as sparse Fq12 elements, Scott final exponentiation).
+//
+// Mirrors the algorithm of cap_tpu/crypto/bn254.py (SURVEY.md §2.2 L1
+// "pairing for verify"); constants (frobenius gammas, twist frobenius
+// coefficients, the BN parameter and ate loop count) are injected from
+// Python at init so the C++ holds no curve tables of its own.  ~50x the
+// Python pairing; drives PlonkKzgSnark::verify / batch_verify throughput.
+// ---------------------------------------------------------------------------
+
+struct F2c { u64 c0[4], c1[4]; };       // Fq[u]/(u^2+1), Montgomery coeffs
+struct F6c { F2c c0, c1, c2; };         // Fq2[v]/(v^3 - xi), xi = 9 + u
+struct F12c { F6c c0, c1; };            // Fq6[w]/(w^2 - v)
+
+static F2c g_gamma[3][5];               // gamma[e-1][i-1] = xi^(i*(p^e-1)/6)
+static F2c g_frob_x, g_frob_y;          // twist frobenius coefficients
+static u64 g_bn_x;                      // |BN x| parameter
+static int g_ate_bits[70];              // ate loop count, MSB first
+static int g_ate_nbits;
+static u64 g_fq_nine[4];                // Montgomery 9 in Fq
+
+static inline void f2_add(const F2c* a, const F2c* b, F2c* o) {
+    f_add(g_fq, a->c0, b->c0, o->c0); f_add(g_fq, a->c1, b->c1, o->c1);
+}
+static inline void f2_sub(const F2c* a, const F2c* b, F2c* o) {
+    f_sub(g_fq, a->c0, b->c0, o->c0); f_sub(g_fq, a->c1, b->c1, o->c1);
+}
+static inline void f2_neg(const F2c* a, F2c* o) {
+    u64 z[4] = {0, 0, 0, 0};
+    f_sub(g_fq, z, a->c0, o->c0); f_sub(g_fq, z, a->c1, o->c1);
+}
+static inline void f2_conj(const F2c* a, F2c* o) {
+    u64 z[4] = {0, 0, 0, 0};
+    memcpy(o->c0, a->c0, 32); f_sub(g_fq, z, a->c1, o->c1);
+}
+static void f2_mul(const F2c* a, const F2c* b, F2c* o) {
+    u64 t0[4], t1[4], t2[4], t3[4];
+    f_mul(g_fq, a->c0, b->c0, t0);
+    f_mul(g_fq, a->c1, b->c1, t1);
+    f_add(g_fq, a->c0, a->c1, t2);
+    f_add(g_fq, b->c0, b->c1, t3);
+    f_mul(g_fq, t2, t3, t2);            // (a0+a1)(b0+b1)
+    F2c r;
+    f_sub(g_fq, t0, t1, r.c0);          // a0b0 - a1b1
+    f_sub(g_fq, t2, t0, r.c1);
+    f_sub(g_fq, r.c1, t1, r.c1);        // cross terms
+    *o = r;
+}
+static inline void f2_sq(const F2c* a, F2c* o) { f2_mul(a, a, o); }
+static void f2_mul_fq(const F2c* a, const u64* k, F2c* o) {
+    f_mul(g_fq, a->c0, k, o->c0); f_mul(g_fq, a->c1, k, o->c1);
+}
+static void f2_inv(const F2c* a, F2c* o) {
+    u64 t0[4], t1[4], z[4] = {0, 0, 0, 0};
+    f_mul(g_fq, a->c0, a->c0, t0);
+    f_mul(g_fq, a->c1, a->c1, t1);
+    f_add(g_fq, t0, t1, t0);            // norm = c0^2 + c1^2
+    f_inv_mont(g_fq, t0, t0);
+    f_mul(g_fq, a->c0, t0, o->c0);
+    f_sub(g_fq, z, a->c1, o->c1);
+    f_mul(g_fq, o->c1, t0, o->c1);
+}
+static void f2_mul_xi(const F2c* a, F2c* o) {  // (9 + u) * a
+    F2c t;
+    f_mul(g_fq, a->c0, g_fq_nine, t.c0);
+    f_sub(g_fq, t.c0, a->c1, t.c0);              // 9 c0 - c1
+    f_mul(g_fq, a->c1, g_fq_nine, t.c1);
+    f_add(g_fq, t.c1, a->c0, t.c1);              // c0 + 9 c1
+    *o = t;
+}
+static inline int f2_is_zero(const F2c* a) {
+    return is_zero4(a->c0) && is_zero4(a->c1);
+}
+static inline int f2_eq(const F2c* a, const F2c* b) {
+    return !memcmp(a, b, sizeof(F2c));
+}
+
+static void f6_add(const F6c* a, const F6c* b, F6c* o) {
+    f2_add(&a->c0, &b->c0, &o->c0); f2_add(&a->c1, &b->c1, &o->c1);
+    f2_add(&a->c2, &b->c2, &o->c2);
+}
+static void f6_sub(const F6c* a, const F6c* b, F6c* o) {
+    f2_sub(&a->c0, &b->c0, &o->c0); f2_sub(&a->c1, &b->c1, &o->c1);
+    f2_sub(&a->c2, &b->c2, &o->c2);
+}
+static void f6_neg(const F6c* a, F6c* o) {
+    f2_neg(&a->c0, &o->c0); f2_neg(&a->c1, &o->c1); f2_neg(&a->c2, &o->c2);
+}
+static void f6_mul(const F6c* a, const F6c* b, F6c* o) {
+    F2c t00, t11, t22, t01, t10, t02, t20, t12, t21, x;
+    f2_mul(&a->c0, &b->c0, &t00);
+    f2_mul(&a->c1, &b->c1, &t11);
+    f2_mul(&a->c2, &b->c2, &t22);
+    f2_mul(&a->c0, &b->c1, &t01);
+    f2_mul(&a->c1, &b->c0, &t10);
+    f2_mul(&a->c0, &b->c2, &t02);
+    f2_mul(&a->c2, &b->c0, &t20);
+    f2_mul(&a->c1, &b->c2, &t12);
+    f2_mul(&a->c2, &b->c1, &t21);
+    F6c r;
+    f2_add(&t12, &t21, &x); f2_mul_xi(&x, &x); f2_add(&t00, &x, &r.c0);
+    f2_mul_xi(&t22, &x); f2_add(&t01, &t10, &r.c1); f2_add(&r.c1, &x, &r.c1);
+    f2_add(&t02, &t20, &r.c2); f2_add(&r.c2, &t11, &r.c2);
+    *o = r;
+}
+static inline void f6_sq(const F6c* a, F6c* o) { f6_mul(a, a, o); }
+static void f6_mul_v(const F6c* a, F6c* o) {    // v * (a0 + a1 v + a2 v^2)
+    F6c r;
+    f2_mul_xi(&a->c2, &r.c0);
+    r.c1 = a->c0; r.c2 = a->c1;
+    *o = r;
+}
+static void f6_inv(const F6c* a, F6c* o) {
+    F2c A, B, C, t, den;
+    f2_sq(&a->c0, &A); f2_mul(&a->c1, &a->c2, &t); f2_mul_xi(&t, &t);
+    f2_sub(&A, &t, &A);                          // A = c0^2 - xi c1 c2
+    f2_sq(&a->c2, &B); f2_mul_xi(&B, &B); f2_mul(&a->c0, &a->c1, &t);
+    f2_sub(&B, &t, &B);                          // B = xi c2^2 - c0 c1
+    f2_sq(&a->c1, &C); f2_mul(&a->c0, &a->c2, &t);
+    f2_sub(&C, &t, &C);                          // C = c1^2 - c0 c2
+    F2c d1, d2;
+    f2_mul(&a->c0, &A, &den);
+    f2_mul(&a->c2, &B, &d1); f2_mul_xi(&d1, &d1);
+    f2_mul(&a->c1, &C, &d2); f2_mul_xi(&d2, &d2);
+    f2_add(&den, &d1, &den); f2_add(&den, &d2, &den);
+    f2_inv(&den, &den);
+    f2_mul(&A, &den, &o->c0);
+    f2_mul(&B, &den, &o->c1);
+    f2_mul(&C, &den, &o->c2);
+}
+
+static void f12_mul(const F12c* a, const F12c* b, F12c* o) {
+    F6c t0, t1, t2, t3;
+    f6_mul(&a->c0, &b->c0, &t0);
+    f6_mul(&a->c1, &b->c1, &t1);
+    F12c r;
+    f6_mul_v(&t1, &t2);
+    f6_add(&t0, &t2, &r.c0);                     // a0b0 + v a1b1
+    f6_add(&a->c0, &a->c1, &t2);
+    f6_add(&b->c0, &b->c1, &t3);
+    f6_mul(&t2, &t3, &t2);
+    f6_sub(&t2, &t0, &t2);
+    f6_sub(&t2, &t1, &r.c1);                     // a0b1 + a1b0
+    *o = r;
+}
+static inline void f12_sq(const F12c* a, F12c* o) { f12_mul(a, a, o); }
+static void f12_conj(const F12c* a, F12c* o) {   // = frobenius^6
+    o->c0 = a->c0; f6_neg(&a->c1, &o->c1);
+}
+static void f12_inv(const F12c* a, F12c* o) {
+    F6c t0, t1;
+    f6_sq(&a->c0, &t0);
+    f6_sq(&a->c1, &t1); f6_mul_v(&t1, &t1);
+    f6_sub(&t0, &t1, &t0);                       // c0^2 - v c1^2
+    f6_inv(&t0, &t0);
+    f6_mul(&a->c0, &t0, &o->c0);
+    f6_mul(&a->c1, &t0, &t1); f6_neg(&t1, &o->c1);
+}
+static int f12_is_one(const F12c* a) {
+    if (memcmp(a->c0.c0.c0, g_fq.one, 32)) return 0;
+    if (!is_zero4(a->c0.c0.c1)) return 0;
+    return f2_is_zero(&a->c0.c1) && f2_is_zero(&a->c0.c2)
+        && f2_is_zero(&a->c1.c0) && f2_is_zero(&a->c1.c1)
+        && f2_is_zero(&a->c1.c2);
+}
+
+// frobenius^e for e in {1,2,3}: per-w^i coefficient conjugation + gamma.
+// tower monomials: w^0 -> c0.c0, w^2 -> c0.c1, w^4 -> c0.c2,
+//                  w^1 -> c1.c0, w^3 -> c1.c1, w^5 -> c1.c2
+static void f12_frob(const F12c* a, int e, F12c* o) {
+    const F2c* g = g_gamma[e - 1];
+    F2c t[6];
+    const F2c* in[6] = {&a->c0.c0, &a->c1.c0, &a->c0.c1,
+                        &a->c1.c1, &a->c0.c2, &a->c1.c2};
+    for (int i = 0; i < 6; ++i) {
+        if (e & 1) f2_conj(in[i], &t[i]); else t[i] = *in[i];
+        if (i > 0) f2_mul(&t[i], &g[i - 1], &t[i]);
+    }
+    o->c0.c0 = t[0]; o->c1.c0 = t[1]; o->c0.c1 = t[2];
+    o->c1.c1 = t[3]; o->c0.c2 = t[4]; o->c1.c2 = t[5];
+}
+
+static void f12_pow_u64(const F12c* a, u64 e, F12c* o) {
+    F12c acc, base = *a;
+    memset(&acc, 0, sizeof(acc));
+    memcpy(acc.c0.c0.c0, g_fq.one, 32);          // one
+    while (e) {
+        if (e & 1) f12_mul(&acc, &base, &acc);
+        f12_mul(&base, &base, &base);
+        e >>= 1;
+    }
+    *o = acc;
+}
+
+// line through twisted R, S evaluated at P=(xp, yp):
+//   l = (-yp) + (m * xp) w + (y1 - m * x1) w^3   with slope m in Fq2
+static void line_from_slope(const F2c* m, const F2c* x1, const F2c* y1,
+                            const u64* xp, const u64* yp, F12c* o) {
+    memset(o, 0, sizeof(F12c));
+    u64 z[4] = {0, 0, 0, 0};
+    f_sub(g_fq, z, yp, o->c0.c0.c0);             // -yp (Fq embeds at c0.c0.c0)
+    f2_mul_fq(m, xp, &o->c1.c0);                 // m * xp at w^1
+    F2c t;
+    f2_mul(m, x1, &t);
+    f2_sub(y1, &t, &o->c1.c1);                   // (y1 - m x1) at w^3
+}
+
+// vertical line x = x1 evaluated at P: l = xp - x1 w^2
+static void line_vertical(const F2c* x1, const u64* xp, F12c* o) {
+    memset(o, 0, sizeof(F12c));
+    memcpy(o->c0.c0.c0, xp, 32);
+    f2_neg(x1, &o->c0.c1);
+}
+
+struct G2Aff { F2c x, y; int inf; };
+
+static void miller_step_line(const G2Aff* r, const G2Aff* s,
+                             const u64* xp, const u64* yp, F12c* l,
+                             G2Aff* out) {
+    // line through r and s (tangent if equal), plus the affine sum
+    if (f2_eq(&r->x, &s->x) && !f2_eq(&r->y, &s->y)) {
+        line_vertical(&r->x, xp, l);
+        out->inf = 1;
+        memset(&out->x, 0, sizeof(F2c)); memset(&out->y, 0, sizeof(F2c));
+        return;
+    }
+    F2c m, num, den;
+    if (f2_eq(&r->x, &s->x)) {                   // tangent: m = 3x^2 / 2y
+        f2_sq(&r->x, &num);
+        F2c three;
+        f2_add(&num, &num, &three); f2_add(&three, &num, &num);
+        f2_add(&r->y, &r->y, &den);
+    } else {                                     // chord
+        f2_sub(&s->y, &r->y, &num);
+        f2_sub(&s->x, &r->x, &den);
+    }
+    f2_inv(&den, &den);
+    f2_mul(&num, &den, &m);
+    line_from_slope(&m, &r->x, &r->y, xp, yp, l);
+    F2c nx, ny, t;
+    f2_sq(&m, &nx);
+    f2_sub(&nx, &r->x, &nx); f2_sub(&nx, &s->x, &nx);
+    f2_sub(&r->x, &nx, &t);
+    f2_mul(&m, &t, &ny);
+    f2_sub(&ny, &r->y, &ny);
+    out->x = nx; out->y = ny; out->inf = 0;
+}
+
+static void g2_frob_aff(const G2Aff* q, G2Aff* o) {
+    f2_conj(&q->x, &o->x); f2_mul(&o->x, &g_frob_x, &o->x);
+    f2_conj(&q->y, &o->y); f2_mul(&o->y, &g_frob_y, &o->y);
+    o->inf = q->inf;
+}
+
+static void miller_loop_aff(const G2Aff* q, const u64* xp, const u64* yp,
+                            F12c* out) {
+    F12c f, l;
+    memset(&f, 0, sizeof(f));
+    memcpy(f.c0.c0.c0, g_fq.one, 32);
+    if (q->inf) { *out = f; return; }
+    G2Aff r = *q;
+    for (int i = 1; i < g_ate_nbits; ++i) {
+        f12_mul(&f, &f, &f);
+        miller_step_line(&r, &r, xp, yp, &l, &r);
+        f12_mul(&f, &l, &f);
+        if (g_ate_bits[i]) {
+            miller_step_line(&r, q, xp, yp, &l, &r);
+            f12_mul(&f, &l, &f);
+        }
+    }
+    G2Aff q1, q2, nq2;
+    g2_frob_aff(q, &q1);
+    g2_frob_aff(&q1, &q2);
+    nq2 = q2; f2_neg(&q2.y, &nq2.y);
+    miller_step_line(&r, &q1, xp, yp, &l, &r);
+    f12_mul(&f, &l, &f);
+    miller_step_line(&r, &nq2, xp, yp, &l, &r);
+    f12_mul(&f, &l, &f);
+    *out = f;
+}
+
+static void final_exp(const F12c* in, F12c* out) {
+    F12c m, t;
+    // easy part: f^(p^6-1) then ^(p^2+1)
+    f12_inv(in, &t);
+    f12_conj(in, &m);
+    f12_mul(&m, &t, &m);
+    f12_frob(&m, 2, &t);
+    f12_mul(&t, &m, &m);
+    // hard part (Scott et al. chain, mirrors bn254.py final_exponentiate)
+    F12c fx, fx2, fx3, y0, y1, y2, y3, y4, y5, y6, t0, t1;
+    f12_pow_u64(&m, g_bn_x, &fx);
+    f12_pow_u64(&fx, g_bn_x, &fx2);
+    f12_pow_u64(&fx2, g_bn_x, &fx3);
+    f12_frob(&m, 1, &y0); f12_frob(&m, 2, &t); f12_mul(&y0, &t, &y0);
+    f12_frob(&m, 3, &t); f12_mul(&y0, &t, &y0);
+    f12_conj(&m, &y1);
+    f12_frob(&fx2, 2, &y2);
+    f12_frob(&fx, 1, &y3); f12_conj(&y3, &y3);
+    f12_frob(&fx2, 1, &y4); f12_mul(&fx, &y4, &y4); f12_conj(&y4, &y4);
+    f12_conj(&fx2, &y5);
+    f12_frob(&fx3, 1, &y6); f12_mul(&fx3, &y6, &y6); f12_conj(&y6, &y6);
+    f12_sq(&y6, &t0); f12_mul(&t0, &y4, &t0); f12_mul(&t0, &y5, &t0);
+    f12_mul(&y3, &y5, &t1); f12_mul(&t1, &t0, &t1);
+    f12_mul(&t0, &y2, &t0);
+    f12_sq(&t1, &t1); f12_mul(&t1, &t0, &t1); f12_sq(&t1, &t1);
+    f12_mul(&t1, &y1, &t0);
+    f12_mul(&t1, &y0, &t1);
+    f12_sq(&t0, &t0);
+    f12_mul(&t0, &t1, out);
+}
+
+extern "C" {
+
+// gammas: [3][5] F2 (e=1..3, i=1..5); frob_xy: 2 F2; all Montgomery.
+// ate_bits: MSB-first bit array of the ate loop count.
+void cap_pairing_init(const u64* gammas, const u64* frob_xy, u64 bn_x,
+                      const int* ate_bits, int n_ate_bits, const u64* nine) {
+    memcpy(g_gamma, gammas, sizeof(g_gamma));
+    memcpy(&g_frob_x, frob_xy, sizeof(F2c));
+    memcpy(&g_frob_y, frob_xy + 8, sizeof(F2c));
+    g_bn_x = bn_x;
+    g_ate_nbits = n_ate_bits;
+    for (int i = 0; i < n_ate_bits; ++i) g_ate_bits[i] = ate_bits[i];
+    memcpy(g_fq_nine, nine, 32);
+}
+
+// g1: n x 8 u64 (x, y Montgomery affine); g2: n x 16 u64 (x.c0 x.c1 y.c0
+// y.c1 Montgomery); skip: n ints (1 = identity pair, contribute 1).
+// Returns 1 iff prod e(P_i, Q_i) == 1.
+int cap_pairing_check(const u64* g1, const u64* g2, const int* skip, int n) {
+    F12c acc, f;
+    memset(&acc, 0, sizeof(acc));
+    memcpy(acc.c0.c0.c0, g_fq.one, 32);
+    for (int i = 0; i < n; ++i) {
+        if (skip[i]) continue;
+        G2Aff q;
+        memcpy(&q.x, g2 + 16 * i, 64);
+        memcpy(&q.y, g2 + 16 * i + 8, 64);
+        q.inf = 0;
+        miller_loop_aff(&q, g1 + 8 * i, g1 + 8 * i + 4, &f);
+        f12_mul(&acc, &f, &acc);
+    }
+    final_exp(&acc, &acc);
+    return f12_is_one(&acc);
+}
+
+
 }  // extern "C"

@@ -84,3 +84,30 @@ def test_fq12_field_ops():
     x = Fq12([FR.rand(rng) % 1000 for _ in range(12)])
     assert (x * x.inv()).is_one()
     assert x * Fq12.one() == x
+
+
+def test_native_pairing_matches_python():
+    """C++ tower pairing (native/cap_native.cpp) vs the Python ground truth."""
+    from cap_tpu.utils import native
+
+    if not native.HAVE_NATIVE:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    import random
+
+    from cap_tpu.crypto.bn254 import g2_mul, multi_pairing
+
+    rng = random.Random(9)
+    a, b = rng.randrange(1, FR.p), rng.randrange(1, FR.p)
+    good = [
+        (g1_mul(G1_GEN, a), g2_mul(G2_GEN, b)),
+        (g1_neg(g1_mul(G1_GEN, a * b % FR.p)), G2_GEN),
+    ]
+    assert native.pairing_check(good) is True
+    assert multi_pairing(good).is_one()
+    bad = [(g1_mul(G1_GEN, a + 1), good[0][1]), good[1]]
+    assert native.pairing_check(bad) is False
+    # identity pairs contribute 1
+    mixed = [(None, G2_GEN)] + good
+    assert native.pairing_check(mixed) is True
