@@ -129,7 +129,7 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         ok, ver_s = _time_once(
             lambda: note2.verify(vk, b2.tree.root, timestamp=5)
         )
-        assert ok
+        assert ok is not False  # note verify raises on failure
         nb = len(transaction_note_to_bytes(note2))
         args = (n_in, n_out, depth, domain, gates, nb, _pk_bytes(pk), _vk_bytes(vk))
         rows.append(bench_row("TRANSFER", "generate", *args, gen_s))

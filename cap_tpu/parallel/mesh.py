@@ -110,16 +110,11 @@ def prover_mesh() -> Mesh | None:
     return _PROVER_MESH[0]
 
 
-def sharded_commit_windows(mesh: Mesh, table, scalars_batch):
-    """Signed-window MSM window sums with the point axis sharded over x.
+def sharded_commit_parts(mesh: Mesh, table, scalars_batch):
+    """Per-device signed-window sums, point axis sharded over x.
 
-    table: [513, mp, 32] uint16; scalars_batch: [k, mp, 16] plain limbs;
-    mp must be a multiple of D * msm_signed.WCHUNK.  Returns [k, 26, 3, 16]
-    canonical projective window sums (combined across devices).
-    """
+    Returns [D, k, 26, 3, 16] (device-sharded on axis 0, no collectives)."""
     from cap_tpu.ops import msm_signed as ms
-
-    d = mesh.shape["x"]
 
     def local(tab_shard, sc_shard):
         return ms.msm_signed_windows_device(tab_shard, sc_shard)[None]
@@ -131,7 +126,19 @@ def sharded_commit_windows(mesh: Mesh, table, scalars_batch):
         out_specs=P("x"),
         check_rep=False,
     )
-    parts = f(table, scalars_batch)  # [D, k, 26, 3, 16]
+    return f(table, scalars_batch)
+
+
+def sharded_commit_windows(mesh: Mesh, table, scalars_batch):
+    """Signed-window MSM window sums with the point axis sharded over x.
+
+    table: [513, mp, 32] uint16; scalars_batch: [k, mp, 16] plain limbs;
+    mp must be a multiple of D * msm_signed.WCHUNK.  Returns [k, 26, 3, 16]
+    canonical projective window sums, combined across devices with a
+    log2(D) EC-add tree (XLA inserts the cross-device exchanges — riding
+    ICI on a real TPU mesh)."""
+    d = mesh.shape["x"]
+    parts = sharded_commit_parts(mesh, table, scalars_batch)
     width = d
     cur = tuple(parts[:, :, :, c] for c in range(3))
     while width > 1:
@@ -141,6 +148,48 @@ def sharded_commit_windows(mesh: Mesh, table, scalars_batch):
         cur = ec.ec_add(lo, hi)
         width = half
     return jnp.stack([c[0] for c in cur], axis=2)  # [k, 26, 3, 16]
+
+
+def sharded_commit_host_points(mesh: Mesh, table, scalars_batch) -> list:
+    """Sharded commit with the cross-device combine on the HOST.
+
+    Each device computes window sums over its point shard (no collectives
+    at all); the [D, k, 26] partials come back to the host, which combines
+    and Horner-folds in bigints.  This is the CPU-mesh path: XLA:CPU's
+    collective rendezvous hard-aborts the process when virtual devices
+    outnumber cores and shard compute is long (observed 40 s timeout →
+    abort at 8 devices on 4 cores), so the dryrun must not depend on
+    cross-device collectives for correctness checks."""
+    from cap_tpu.crypto.bn254 import g1j_add, g1j_double, g1j_from_affine, g1j_to_affine
+    from cap_tpu.fields.host import FQ
+    from cap_tpu.ops import msm_signed as ms
+    from cap_tpu.ops.limbs import limbs_to_ints
+
+    d = mesh.shape["x"]
+    parts = np.asarray(
+        jax.jit(lambda t, s: sharded_commit_parts(mesh, t, s))(table, scalars_batch)
+    )  # [D, k, 26, 3, 16]
+    k = parts.shape[1]
+    flat = parts.reshape(-1, 3, parts.shape[-1])
+    xs = limbs_to_ints(flat[:, 0], FQ)
+    ys = limbs_to_ints(flat[:, 1], FQ)
+    zs = limbs_to_ints(flat[:, 2], FQ)
+    out = []
+    for i in range(k):
+        acc = (1, 1, 0)
+        for w in reversed(range(ms.NUM_WINDOWS)):
+            for _ in range(ms.WINDOW_BITS):
+                acc = g1j_double(acc)
+            for dev in range(d):
+                j = (dev * k + i) * ms.NUM_WINDOWS + w
+                if zs[j] != 0:
+                    zi = pow(zs[j], -1, FQ.p)
+                    acc = g1j_add(
+                        acc,
+                        g1j_from_affine((xs[j] * zi % FQ.p, ys[j] * zi % FQ.p)),
+                    )
+        out.append(g1j_to_affine(acc))
+    return out
 
 
 def sharded_commit_device(mesh: Mesh, table, scalars_batch):

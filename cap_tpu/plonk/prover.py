@@ -157,6 +157,16 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
     k, m, _ = coeffs_plain_batch.shape
     mode = os.environ.get("CAP_MSM", "signed")
     if mode == "signed":
+        mesh = _prover_mesh()
+        if mesh is not None and jax.default_backend() == "cpu":
+            # virtual-CPU mesh: per-device shards only, host combine —
+            # XLA:CPU collectives hard-abort under device>core starvation
+            from cap_tpu.parallel import mesh as pm
+
+            d = mesh.shape["x"]
+            tab = signed_table(srs, m, mult=d * msg_mod.WCHUNK)
+            padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, tab.shape[1])
+            return pm.sharded_commit_host_points(mesh, tab, padded)
         res = commit_batch_device(srs, coeffs_plain_batch)
         return msg_mod.points_from_batch_result(res)
     if mode == "host":
