@@ -244,6 +244,12 @@ def main():
     kind = os.environ.get("CAP_BENCH", "transfer")
     reps = int(os.environ.get("CAP_BENCH_REPS", "3"))
     if kind in ("transfer", "mint", "freeze"):
+        # single-shape runs take the wider 12-bit MSM windows (-15% point
+        # adds; ~4.3 GB digit table at 2^15).  Multi-shape runs (grid,
+        # batch_verify) keep the default c=10 so tables don't accumulate
+        # past HBM.
+        os.environ.setdefault("CAP_MSM_C", "12")
+    if kind in ("transfer", "mint", "freeze"):
         result = bench_note(kind, reps)
     elif kind == "batch_verify":
         result = bench_batch_verify(reps)

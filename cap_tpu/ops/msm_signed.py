@@ -32,10 +32,16 @@ from cap_tpu.fields.host import FQ, FR, LIMB_BITS, NLIMBS
 from cap_tpu.ops import ec, field_jax as fj, pallas_field as pfl
 from cap_tpu.ops import limb_kernels as lk
 
-WINDOW_BITS = 10
-NUM_WINDOWS = 26            # ceil(254 / 10)
-HALF = 1 << (WINDOW_BITS - 1)          # 512
-TABLE_ROWS = HALF + 1                  # |d| in [0, 512]
+import os as _os
+
+# window width: CAP_MSM_C env (process-wide).  c=10 -> 26 windows at
+# 33 KB/point of table (2^17 fits HBM); c=12 -> 22 windows (-15% point
+# adds) at 131 KB/point (2^15 tables ~4.3 GB — the headline-shape sweet
+# spot; keep 10 for multi-shape/grid runs where tables accumulate).
+WINDOW_BITS = int(_os.environ.get("CAP_MSM_C", "10"))
+NUM_WINDOWS = -(-254 // WINDOW_BITS)
+HALF = 1 << (WINDOW_BITS - 1)
+TABLE_ROWS = HALF + 1                  # |d| in [0, HALF]
 WCHUNK = 2048               # points per accumulation step
 
 
@@ -54,7 +60,7 @@ def signed_digits_device(scalars):
         bit = WINDOW_BITS * w
         li, sh = bit // LIMB_BITS, bit % LIMB_BITS
         raw = (limbs[:, li] >> sh) | (limbs[:, li + 1] << (LIMB_BITS - sh))
-        digs.append((raw & jnp.uint32(1023)).astype(jnp.int32))
+        digs.append((raw & jnp.uint32((1 << WINDOW_BITS) - 1)).astype(jnp.int32))
     d = jnp.stack(digs, axis=1)  # [n, 26] in [0, 1023]
 
     def step(carry, dw):
@@ -123,7 +129,7 @@ def build_signed_table(px, py, m: int, mp: int | None = None) -> jnp.ndarray:
         # 17 big batched kernel calls instead of 511 tiny sequential ones
         # (which were schedule-latency-bound on both CPU and TPU).
         levels = [(px[None], py[None], one[None])]  # d = 1
-        for j in range(1, 9):
+        for j in range(1, WINDOW_BITS):
             prev = levels[-1]
             s = prev[0].shape[0]
             pt = tiled(prev)
@@ -141,12 +147,12 @@ def build_signed_table(px, py, m: int, mp: int | None = None) -> jnp.ndarray:
                     for e, o in zip(evens, odds)
                 )
             )
-        p256 = tuple(c[0].reshape(cblk, NLIMBS) for c in levels[-1])
-        t256 = tiled(tuple(c[None] for c in p256))
-        d512 = untiled(pfl.ec_add_pallas_tiled(t256, t256), 1)
-        allx = jnp.concatenate([lv[0] for lv in levels] + [d512[0]], axis=0)
-        ally = jnp.concatenate([lv[1] for lv in levels] + [d512[1]], axis=0)
-        allz = jnp.concatenate([lv[2] for lv in levels] + [d512[2]], axis=0)
+        phalf = tuple(c[0].reshape(cblk, NLIMBS) for c in levels[-1])
+        thalf = tiled(tuple(c[None] for c in phalf))
+        dtop = untiled(pfl.ec_add_pallas_tiled(thalf, thalf), 1)
+        allx = jnp.concatenate([lv[0] for lv in levels] + [dtop[0]], axis=0)
+        ally = jnp.concatenate([lv[1] for lv in levels] + [dtop[1]], axis=0)
+        allz = jnp.concatenate([lv[2] for lv in levels] + [dtop[2]], axis=0)
         # normalize redundant coords then batch-invert z over the flattened rows
         norm = lambda a: jax.vmap(
             lambda t: pfl.from_limb_major(pfl.normalize_tiled(pfl.to_limb_major(t)))

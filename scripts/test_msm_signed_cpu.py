@@ -42,7 +42,7 @@ for i, s in enumerate(scalars):
     acc = 0
     for w in range(ms.NUM_WINDOWS):
         d = int(absd_h[i, w]) * (-1 if neg_h[i, w] else 1)
-        acc += d * (1 << (10 * w))
+        acc += d * (1 << (ms.WINDOW_BITS * w))
     assert acc == s, (i, s, acc)
 print("signed digits OK")
 
