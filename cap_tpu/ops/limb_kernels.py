@@ -63,6 +63,46 @@ def mont_mul_cols(x, y, p_limbs, n0):
     return out
 
 
+def mont_mul_cols_sep(x, y, p_limbs, n0):
+    """Separated-product Montgomery multiply -> limb list in [0, 2p).
+
+    Same op count as the CIOS form (mont_mul_cols) but a different
+    dependency structure: the full 256-mul schoolbook product is computed
+    first as 33 independent redundant columns (every multiply independent —
+    maximal ILP), then the 16 reduction rounds run over the columns.  The
+    reduction's serial chain is the same depth as CIOS, but it now overlaps
+    a much larger pool of independent work for the VPU scheduler.
+
+    Column-sum bound: each column accumulates <= 32 16-bit pieces plus one
+    reduction carry < 2^21 + 2^16 << 2^32, so no intermediate overflow.
+    """
+    t = [None] * (2 * NLIMBS + 1)
+    for i in range(NLIMBS):
+        xi = x[i]
+        for j in range(NLIMBS):
+            prod = xi * y[j]
+            lo = prod & _MASK
+            hi = prod >> LIMB_BITS
+            t[i + j] = lo if t[i + j] is None else t[i + j] + lo
+            t[i + j + 1] = hi if t[i + j + 1] is None else t[i + j + 1] + hi
+    for i in range(NLIMBS):
+        m = (t[i] * n0) & _MASK
+        for j in range(NLIMBS):
+            pm = m * p_limbs[j]
+            t[i + j] = t[i + j] + (pm & _MASK)
+            t[i + j + 1] = t[i + j + 1] + (pm >> LIMB_BITS)
+        # column i is now ≡ 0 mod 2^16; fold its carry into column i+1
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+    out = []
+    c = None
+    for j in range(NLIMBS, 2 * NLIMBS):
+        v = t[j] if c is None else t[j] + c
+        out.append(v & _MASK)
+        c = v >> LIMB_BITS
+    # top column vanishes: result < 2p < 2^256
+    return out
+
+
 def cond_sub_p(cols, p_limbs):
     """Reduce a normalized 16-limb value in [0, 2p) to [0, p)."""
     out = []

@@ -125,11 +125,14 @@ def build_signed_table(px, py, m: int, mp: int | None = None) -> jnp.ndarray:
 
         # levelized d*P ladder: level j holds d in [2^j, 2^(j+1)) — evens by
         # one batched double of level j-1, odds by one batched mixed +P.
-        # Same 511 group ops per point as the round-2a sequential scan, but
-        # 17 big batched kernel calls instead of 511 tiny sequential ones
-        # (which were schedule-latency-bound on both CPU and TPU).
+        # Levels run to d = HALF - 1 = 2^(c-2+1) - 1 only: balanced digits
+        # gather |d| <= HALF, so the ladder stops a level short of 2^c and
+        # the single d = HALF row comes from one extra double (dtop below).
+        # (The first levelized version ran the ladder to 2^c - 1, building
+        # 2x the rows the gather can ever touch — 2x table HBM and build
+        # time for nothing.)
         levels = [(px[None], py[None], one[None])]  # d = 1
-        for j in range(1, WINDOW_BITS):
+        for j in range(1, WINDOW_BITS - 1):
             prev = levels[-1]
             s = prev[0].shape[0]
             pt = tiled(prev)

@@ -83,7 +83,7 @@ def test_sharded_quotient_matches_unsharded(mesh8):
     assert np.array_equal(np.asarray(got), np.asarray(want))
 
 
-def _pow5_chain_circuit(x0: int, rounds: int = 200):
+def _pow5_chain_circuit(x0: int, rounds: int = 48):
     c = PlonkCircuit()
     x = c.load(x0)
     for i in range(rounds):
@@ -109,8 +109,6 @@ def test_full_prove_on_mesh_verifies(mesh8, monkeypatch):
     finally:
         pm.set_prover_mesh(None)
     assert verifier.verify(vk, c.public_input(), proof)
-    # cross-check: the mesh prove agrees with a single-device prove's
-    # verifier view (different blinding randomness -> different proof bytes,
-    # but both must verify under the same vk)
-    proof1 = prover.prove(test_rng(), pk, c.witness_values, c.public_input())
-    assert verifier.verify(vk, c.public_input(), proof1)
+    # (a single-device prove under the same vk is covered by test_plonk_e2e;
+    # re-proving here doubled the slowest test in the suite for no new
+    # assertion)
