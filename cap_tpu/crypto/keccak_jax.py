@@ -1,0 +1,158 @@
+"""Keccak-256 on device (JAX), for the in-program Fiat–Shamir transcript.
+
+The round-by-round prover pays a ~28 ms host sync per transcript round
+(commit points must reach the host to be hashed).  Hashing ON DEVICE keeps
+the whole 5-round TurboPlonk prove inside one XLA program (see
+plonk/prover_fused.py); this module is the Keccak-f[1600] permutation and
+the fixed-padding Keccak-256 sponge over **u32 word streams**.
+
+Word streams: the transcript layout is word-aligned by construction
+(transcript.py pads labels/data to 4-byte multiples), so messages are
+lists of scalar uint32 arrays (little-endian bytes packed b0|b1<<8|...).
+Lengths are static per call site — every distinct message length is its
+own trace, which jit caches per prove shape.
+
+64-bit lanes are (lo, hi) u32 pairs; lane indexing is x + 5*y, matching
+crypto/keccak.py (the host twin — tests assert equality on random data).
+Reference role: SolidityTranscript's Keccak (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from cap_tpu.crypto.keccak import _ROTATIONS, _ROUND_CONSTANTS
+
+RATE_WORDS = 34  # 136-byte rate = 34 u32 words
+
+
+@lru_cache(maxsize=None)
+def _rc_arrays_np():
+    lo = np.asarray([rc & 0xFFFFFFFF for rc in _ROUND_CONSTANTS], dtype=np.uint32)
+    hi = np.asarray([rc >> 32 for rc in _ROUND_CONSTANTS], dtype=np.uint32)
+    return lo, hi
+
+
+def _rc_arrays():
+    # jnp conversion must happen per trace (a cached traced constant would
+    # leak across jit scopes)
+    lo, hi = _rc_arrays_np()
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def _rotl64(lo, hi, n: int):
+    n %= 64
+    if n == 0:
+        return lo, hi
+    if n == 32:
+        return hi, lo
+    if n > 32:
+        lo, hi, n = hi, lo, n - 32
+    nn = np.uint32(n)
+    mn = np.uint32(32 - n)
+    return (lo << nn) | (hi >> mn), (hi << nn) | (lo >> mn)
+
+
+def keccak_f1600_device(lanes):
+    """One permutation; lanes = list of 25 (lo, hi) scalar-u32 pairs."""
+    rc_lo, rc_hi = _rc_arrays()
+
+    def round_fn(r, a):
+        lo = list(a[0])
+        hi = list(a[1])
+        # theta
+        c = [
+            (
+                lo[x] ^ lo[x + 5] ^ lo[x + 10] ^ lo[x + 15] ^ lo[x + 20],
+                hi[x] ^ hi[x + 5] ^ hi[x + 10] ^ hi[x + 15] ^ hi[x + 20],
+            )
+            for x in range(5)
+        ]
+        d = []
+        for x in range(5):
+            rl, rh = _rotl64(c[(x + 1) % 5][0], c[(x + 1) % 5][1], 1)
+            d.append((c[(x - 1) % 5][0] ^ rl, c[(x - 1) % 5][1] ^ rh))
+        lo = [lo[i] ^ d[i % 5][0] for i in range(25)]
+        hi = [hi[i] ^ d[i % 5][1] for i in range(25)]
+        # rho + pi
+        blo = [None] * 25
+        bhi = [None] * 25
+        for x in range(5):
+            for y in range(5):
+                rl, rh = _rotl64(lo[x + 5 * y], hi[x + 5 * y], _ROTATIONS[x][y])
+                blo[y + 5 * ((2 * x + 3 * y) % 5)] = rl
+                bhi[y + 5 * ((2 * x + 3 * y) % 5)] = rh
+        # chi
+        lo = [
+            blo[x + 5 * y] ^ (~blo[(x + 1) % 5 + 5 * y] & blo[(x + 2) % 5 + 5 * y])
+            for y in range(5)
+            for x in range(5)
+        ]
+        hi = [
+            bhi[x + 5 * y] ^ (~bhi[(x + 1) % 5 + 5 * y] & bhi[(x + 2) % 5 + 5 * y])
+            for y in range(5)
+            for x in range(5)
+        ]
+        # iota
+        lo[0] = lo[0] ^ rc_lo[r]
+        hi[0] = hi[0] ^ rc_hi[r]
+        return tuple(lo), tuple(hi)
+
+    lo0 = tuple(l for l, _ in lanes)
+    hi0 = tuple(h for _, h in lanes)
+    lo, hi = lax.fori_loop(0, 24, round_fn, (lo0, hi0))
+    return [(lo[i], hi[i]) for i in range(25)]
+
+
+def keccak256_words(words):
+    """Keccak-256 over a word-aligned message: list of scalar u32 arrays
+    (little-endian packed bytes).  Returns 8 scalar u32 words (32 bytes).
+
+    Padding (0x01 .. 0x80) is applied at word granularity — exact because
+    the message is a whole number of words."""
+    z = jnp.uint32(0)
+    msg = list(words)
+    # pad to a whole block
+    nw = len(msg)
+    rem = nw % RATE_WORDS
+    padw = RATE_WORDS - rem
+    pad = [z] * padw
+    pad[0] = pad[0] | jnp.uint32(0x01)
+    pad[-1] = pad[-1] | jnp.uint32(0x80000000)
+    if padw == 1:
+        pad = [jnp.uint32(0x80000001)]
+    msg = msg + pad
+
+    lanes = [(z, z)] * 25
+    for off in range(0, len(msg), RATE_WORDS):
+        block = msg[off : off + RATE_WORDS]
+        new = []
+        for i in range(25):
+            lo, hi = lanes[i]
+            if 2 * i < RATE_WORDS:
+                lo = lo ^ block[2 * i]
+            if 2 * i + 1 < RATE_WORDS:
+                hi = hi ^ block[2 * i + 1]
+            new.append((lo, hi))
+        lanes = keccak_f1600_device(new)
+    out = []
+    for i in range(4):
+        out.append(lanes[i][0])
+        out.append(lanes[i][1])
+    return out
+
+
+def bytes_to_words(data: bytes):
+    """Host helper: zero-pad bytes to 4-byte multiple, pack LE u32 words."""
+    pad = (-len(data)) % 4
+    raw = data + b"\x00" * pad
+    return [jnp.uint32(w) for w in np.frombuffer(raw, dtype="<u4")]
+
+
+def words_to_bytes(words) -> bytes:
+    """Host helper (after device->host transfer): u32 words -> bytes."""
+    return np.asarray([int(w) for w in words], dtype="<u4").tobytes()

@@ -5,15 +5,27 @@ Keccak-based transcript so an EVM verifier can replay challenge derivation,
 including the `ext_msg` hook that binds the receiver-memo verification key
 and extra data into transfer proofs (reference src/proof/transfer.rs:181-207).
 
-State model: `state = keccak256(state || label || data)` on every append;
-challenges are drawn as `keccak256(state || 0x01 counter)` reduced mod r
-(48 bytes expanded via two hashes for negligible bias).
+State model: `state = keccak256(state || len(label) || label || len(data)
+|| data)` on every append; challenges are drawn as `keccak256(state ||
+tag || len(label) || label)` with tags 1/2 expanded to 48 bytes (reduced
+mod r with negligible bias) and tag 3 evolving the state.
+
+Every field is **word-aligned** (u32 lengths; label/data zero-padded to
+4-byte multiples): the device transcript twin (plonk/prover_fused.py +
+crypto/keccak_jax.py) hashes u32 word streams inside the jitted prove
+program, and byte-for-byte equality between the two is what lets a fused
+device prove verify against this host transcript
+(tests/test_keccak_device.py).
 """
 
 from __future__ import annotations
 
 from cap_tpu.crypto.keccak import keccak256
 from cap_tpu.fields.host import FQ, FR
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((-len(b)) % 4)
 
 
 def _encode_g1(pt) -> bytes:
@@ -24,12 +36,16 @@ def _encode_g1(pt) -> bytes:
 
 
 class Transcript:
-    def __init__(self, label: bytes = b"cap-tpu plonk transcript v1"):
-        self.state = keccak256(label)
+    def __init__(self, label: bytes = b"cap-tpu plonk transcript v2w"):
+        self.state = keccak256(_pad4(label))
 
     def append_bytes(self, label: bytes, data: bytes) -> None:
         self.state = keccak256(
-            self.state + len(label).to_bytes(4, "little") + label + data
+            self.state
+            + len(label).to_bytes(4, "little")
+            + _pad4(label)
+            + len(data).to_bytes(4, "little")
+            + _pad4(data)
         )
 
     def append_scalar(self, label: bytes, v: int) -> None:
@@ -44,10 +60,18 @@ class Transcript:
     def append_points(self, label: bytes, pts) -> None:
         self.append_bytes(label, b"".join(_encode_g1(p) for p in pts))
 
+    def _tagged(self, tag: int, label: bytes) -> bytes:
+        return (
+            self.state
+            + tag.to_bytes(4, "little")
+            + len(label).to_bytes(4, "little")
+            + _pad4(label)
+        )
+
     def challenge(self, label: bytes) -> int:
         """Draw a challenge in Fr and absorb it into the state."""
-        h1 = keccak256(self.state + b"\x01" + label)
-        h2 = keccak256(self.state + b"\x02" + label)
+        h1 = keccak256(self._tagged(1, label))
+        h2 = keccak256(self._tagged(2, label))
         v = int.from_bytes(h1 + h2[:16], "little") % FR.p
-        self.state = keccak256(self.state + b"\x03" + label)
+        self.state = keccak256(self._tagged(3, label))
         return v
