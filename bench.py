@@ -215,6 +215,56 @@ def bench_batch_verify(reps: int):
     }
 
 
+def bench_throughput(reps: int):
+    """Pipelined multi-proof throughput on one chip (parallel/queue.py):
+    host witness prep of note i+1 overlaps device proving of note i.
+    Metric: transfer proofs/s over a queue of `reps`+1 notes (first is
+    warm-up).  Baseline: serial Rust at ~2.0 s/proof = 0.5 proofs/s."""
+    from cap_tpu.parallel.queue import (
+        assemble_transfer_notes, prove_pipelined, transfer_note_task,
+    )
+    from cap_tpu.proof import transfer as tproof, universal_setup_for_staging
+    from cap_tpu.structs import FeeInput, TxnFeeInfo
+    from cap_tpu.transfer import TransferNote
+    from cap_tpu.utils.params_builder import TransferParamsBuilder
+
+    depth = 6
+    srs = universal_setup_for_staging(2**15 + 2, "data")
+    pk, vk = tproof.preprocess(srs, 2, 2, depth)
+
+    def build_prepare(rng):
+        b = TransferParamsBuilder(rng, 2, 2, depth, non_native=True,
+                                  with_viewer=True)
+        inputs, outputs = b.build_inputs_and_outputs()
+        fee_input = FeeInput(b.fee_ro, inputs[0].acc_member_witness, b.users[0])
+        fee_info, _ = TxnFeeInfo.new(rng, fee_input, b.fee)
+        prep = TransferNote.prepare_non_native(
+            rng, inputs[1:], outputs, fee_info, b.valid_until, pk
+        )
+        return prep
+
+    def make_tasks(n, base):
+        return [
+            transfer_note_task(f"n{base+i}", base + i, pk, build_prepare)
+            for i in range(n)
+        ]
+
+    prove_pipelined(make_tasks(1, 100))  # warm-up (compile + tape)
+    n = max(reps, 3)
+    t0 = time.time()
+    results = prove_pipelined(make_tasks(n, 200))
+    wall = time.time() - t0
+    notes = assemble_transfer_notes(results)
+    assert len(notes) == n
+    pps = n / wall
+    return {
+        "metric": "transfer_pipelined_proofs_per_s",
+        "value": round(pps, 3),
+        "unit": "proofs/s",
+        "vs_baseline": round(pps / 0.5, 3),
+    }
+
+
 def bench_grid(reps: int):
     """The reference criterion grid at depth 26 (bench_utils.run_grid);
     emits the CSV to /tmp/cap_tpu_benchmark.csv and a summary JSON line."""
@@ -243,16 +293,16 @@ def bench_grid(reps: int):
 def main():
     kind = os.environ.get("CAP_BENCH", "transfer")
     reps = int(os.environ.get("CAP_BENCH_REPS", "3"))
-    if kind in ("transfer", "mint", "freeze"):
-        # single-shape runs take the wider 12-bit MSM windows (-15% point
-        # adds; ~4.3 GB digit table at 2^15).  Multi-shape runs (grid,
-        # batch_verify) keep the default c=10 so tables don't accumulate
-        # past HBM.
-        os.environ.setdefault("CAP_MSM_C", "12")
+    # MSM window width stays at the library default c=10.  c=12 was tried
+    # for single-shape runs (-15% point adds) but its 4.3 GB digit table
+    # next to the prover's live set exhausts this runtime's usable HBM —
+    # the commit program OOMs at 2^15 (measured twice, classic and fused).
     if kind in ("transfer", "mint", "freeze"):
         result = bench_note(kind, reps)
     elif kind == "batch_verify":
         result = bench_batch_verify(reps)
+    elif kind == "throughput":
+        result = bench_throughput(reps)
     elif kind == "field":
         result = bench_field(reps)
     elif kind == "ntt":

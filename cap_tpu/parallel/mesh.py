@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from cap_tpu.fields.host import FR, NLIMBS
 from cap_tpu.ops import ec, field_jax as fj, msm as msm_mod
@@ -61,7 +61,7 @@ def sharded_msm_device(mesh: Mesh, points, scalars):
         mesh=mesh,
         in_specs=(P("x"), P("x"), P("x"), P("x")),
         out_specs=(P("x"), P("x"), P("x")),
-        check_rep=False,
+        check_vma=False,
     )
     tx, ty, tz = f(points[0], points[1], points[2], scalars)  # [D, 254, 16]
     part = (tx, ty, tz)
@@ -124,7 +124,7 @@ def sharded_commit_parts(mesh: Mesh, table, scalars_batch):
         mesh=mesh,
         in_specs=(P(None, "x"), P(None, "x")),
         out_specs=P("x"),
-        check_rep=False,
+        check_vma=False,
     )
     return f(table, scalars_batch)
 
@@ -244,7 +244,7 @@ def sharded_quotient_eval(mesh: Mesh, w8, z8, zw8, pi8, sel, sig, ksx, l1, izh,
             P(None, "x"), P("x"), P("x"), P(None), P(None), P(None),
         ),
         out_specs=P("x"),
-        check_rep=False,
+        check_vma=False,
     )
     return f(w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, alpha, beta, gamma)
 
@@ -375,7 +375,7 @@ def sharded_ntt(mesh: Mesh, coeffs, n: int):
         mesh=mesh,
         in_specs=(P("x"), None, None),
         out_specs=P("x"),
-        check_rep=False,
+        check_vma=False,
     )
     blocks = coeffs.reshape(d, m, NLIMBS)
     return f(blocks, tw, wm)  # [D, d(k2), m/D, 16]

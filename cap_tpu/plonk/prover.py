@@ -28,7 +28,7 @@ from cap_tpu.ops.ntt import coset_intt, coset_ntt, get_domain, intt, ntt
 from cap_tpu.plonk import srs as srs_mod
 from cap_tpu.plonk.circuit import SELECTORS, PlonkCircuit
 from cap_tpu.plonk.structs import PlonkProof, ProvingKey, VerifyingKey
-from cap_tpu.plonk.transcript import Transcript
+from cap_tpu.plonk.transcript import new_transcript
 
 COSET_SHIFT_FOR = lru_cache(maxsize=None)(
     lambda n: FR.multiplicative_generator()
@@ -651,6 +651,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
 
     if (
         os.environ.get("CAP_FUSED_PROVE", "0") == "1"
+        and os.environ.get("CAP_TRANSCRIPT", "v2w") == "v2w"  # device twin is v2w-only
         and _prover_mesh() is None
         and os.environ.get("CAP_PROVE_TIMING", "0") != "1"
     ):
@@ -672,7 +673,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     srs = pk.srs
     p = FR.p
 
-    transcript = Transcript()
+    transcript = new_transcript()
     transcript.append_bytes(b"vk", pk.vk.digest())
     transcript.append_scalars(b"pub", pub_inputs)
     if ext_msg is not None:

@@ -75,3 +75,71 @@ class Transcript:
         v = int.from_bytes(h1 + h2[:16], "little") % FR.p
         self.state = keccak256(self._tagged(3, label))
         return v
+
+
+class SolidityTranscript:
+    """jf-plonk `SolidityTranscript` layout twin (reference type parameter
+    of every prove/verify — src/proof/transfer.rs:181-207).
+
+    Layout, per the publicly documented jellyfish scheme: appends
+    concatenate raw bytes into a running `transcript` buffer (labels are
+    IGNORED, as in the Rust type); a challenge evolves a 64-byte `state`
+    with two domain-separated Keccaks over `state || transcript` and reads
+    the value little-endian mod r:
+
+        h0 = keccak256(state || transcript || 0x00)
+        h1 = keccak256(state || transcript || 0x01)
+        state = h0 || h1;  challenge = LE(state[:48]) mod r
+
+    Field/point encodings follow arkworks CanonicalSerialize (LE scalars,
+    32-byte compressed points — utils/serde.py).
+
+    STATUS: layout-parity with jellyfish rev bcd92b2 is UNVALIDATED — this
+    image has no egress to fetch the pinned sources or generate vectors
+    (docs/STATUS.md "known deviations").  The class exists to make the
+    transcript a data-swappable seam: prover/verifier take any object with
+    this interface (CAP_TRANSCRIPT=solidity), so a vector-driven byte fix
+    is local to this one class.  Proofs made with one transcript class
+    verify only with the same class.
+    """
+
+    def __init__(self, label: bytes = b""):
+        self.buf = b""
+        self.state = b"\x00" * 64
+
+    def append_bytes(self, label: bytes, data: bytes) -> None:
+        self.buf += data
+
+    def append_scalar(self, label: bytes, v: int) -> None:
+        self.append_bytes(label, FR.to_bytes_le(v))
+
+    def append_scalars(self, label: bytes, vs) -> None:
+        self.append_bytes(label, b"".join(FR.to_bytes_le(v) for v in vs))
+
+    def append_point(self, label: bytes, pt) -> None:
+        from cap_tpu.utils.serde import g1_to_bytes
+
+        self.append_bytes(label, g1_to_bytes(pt))
+
+    def append_points(self, label: bytes, pts) -> None:
+        for p in pts:
+            self.append_point(label, p)
+
+    def challenge(self, label: bytes) -> int:
+        h0 = keccak256(self.state + self.buf + b"\x00")
+        h1 = keccak256(self.state + self.buf + b"\x01")
+        self.state = h0 + h1
+        return int.from_bytes(self.state[:48], "little") % FR.p
+
+
+def new_transcript():
+    """Transcript factory for prover/verifier: CAP_TRANSCRIPT=v2w (default,
+    device-twin word-aligned layout) or solidity (jf layout twin above)."""
+    import os
+
+    kind = os.environ.get("CAP_TRANSCRIPT", "v2w")
+    if kind == "solidity":
+        return SolidityTranscript()
+    if kind == "v2w":
+        return Transcript()
+    raise ValueError(f"unknown CAP_TRANSCRIPT={kind!r}")

@@ -21,7 +21,7 @@ from cap_tpu.fields.host import FR
 from cap_tpu.plonk.circuit import SELECTORS
 from cap_tpu.plonk.prover import eval_pub_poly
 from cap_tpu.plonk.structs import PlonkProof, VerifyingKey
-from cap_tpu.plonk.transcript import Transcript
+from cap_tpu.plonk.transcript import new_transcript
 from cap_tpu.ops.ntt import get_domain
 
 
@@ -40,7 +40,7 @@ def _prepare(vk: VerifyingKey, pub_inputs, proof: PlonkProof, ext_msg):
     if len(pub_inputs) != vk.num_pub:
         raise ValueError("public input length mismatch")
 
-    tr = Transcript()
+    tr = new_transcript()
     tr.append_bytes(b"vk", vk.digest())
     tr.append_scalars(b"pub", pub_inputs)
     if ext_msg is not None:

@@ -171,10 +171,13 @@ def _ext_msg(txn_memo_ver_key, extra_proof_bound_data: bytes) -> bytes:
     return te_point_to_bytes(txn_memo_ver_key) + extra_proof_bound_data
 
 
-def prove(rng, proving_key: TransferProvingKey, witness: TransferWitness,
-          pub_input: TransferPublicInput, txn_memo_ver_key,
-          extra_proof_bound_data: bytes = b"") -> PlonkProof:
-    """(reference proof/transfer.rs:159-188)"""
+def prepare_prove(proving_key: TransferProvingKey, witness: TransferWitness,
+                  pub_input: TransferPublicInput, txn_memo_ver_key,
+                  extra_proof_bound_data: bytes = b""):
+    """Host stage of `prove`: witness values (tape replay), reduced public
+    scalars, and the transcript ext message.  Everything after this is the
+    device-side plonk pipeline — parallel/queue.py pipelines exactly at
+    this seam (host prep of note i+1 overlaps device prove of note i)."""
     import os
 
     from cap_tpu.circuits.transfer import extract_inputs
@@ -199,10 +202,18 @@ def prove(rng, proving_key: TransferProvingKey, witness: TransferWitness,
             lambda: extract_inputs(witness, pub_input, *shape),
             pubs,
         )
-    return plonk_prover.prove(
-        rng, proving_key.plonk_pk, wvals, pubs,
-        ext_msg=_ext_msg(txn_memo_ver_key, extra_proof_bound_data),
+    return wvals, pubs, _ext_msg(txn_memo_ver_key, extra_proof_bound_data)
+
+
+def prove(rng, proving_key: TransferProvingKey, witness: TransferWitness,
+          pub_input: TransferPublicInput, txn_memo_ver_key,
+          extra_proof_bound_data: bytes = b"") -> PlonkProof:
+    """(reference proof/transfer.rs:159-188)"""
+    wvals, pubs, ext = prepare_prove(
+        proving_key, witness, pub_input, txn_memo_ver_key,
+        extra_proof_bound_data,
     )
+    return plonk_prover.prove(rng, proving_key.plonk_pk, wvals, pubs, ext_msg=ext)
 
 
 def verify(verifying_key: TransferVerifyingKey, pub_input: TransferPublicInput,

@@ -46,6 +46,22 @@ class AuxInfo:
 
 
 @dataclass(frozen=True)
+class PreparedTransfer:
+    """Everything `TransferNote.prepare` produced on the host: feed
+    `witness_values`/`pub_scalars`/`ext_msg` to the device plonk prover,
+    then assemble with `TransferNote.from_prepared`."""
+
+    pub_input: object
+    memo_keypair: object
+    witness_values: object
+    pub_scalars: list
+    ext_msg: bytes
+    fee: int
+    valid_until: int
+    extra_proof_bound_data: bytes
+
+
+@dataclass(frozen=True)
 class TransferNote:
     """(reference transfer.rs:54-66)"""
 
@@ -103,9 +119,50 @@ class TransferNote:
         )
 
     @staticmethod
+    def prepare_non_native(rng, inputs, output_ros, txn_fee_info: TxnFeeInfo,
+                           valid_until, proving_key,
+                           extra_proof_bound_data: bytes = b""):
+        """Host stage of `generate_non_native`: returns a PreparedTransfer
+        for a later device prove (see parallel/queue.py)."""
+        asset_def = _get_transfer_asset_def(inputs, output_ros)
+        if asset_def.is_native():
+            raise InvalidParameterError("use generate_native for native transfers")
+        fee_input = TransferNoteInput(
+            ro=txn_fee_info.fee_input.ro,
+            acc_member_witness=txn_fee_info.fee_input.acc_member_witness,
+            owner_keypair=txn_fee_info.fee_input.owner_keypair,
+        )
+        return TransferNote.prepare(
+            rng, [fee_input] + list(inputs),
+            [txn_fee_info.fee_chg_ro] + list(output_ros),
+            asset_def, txn_fee_info.fee_amount, valid_until, proving_key,
+            extra_proof_bound_data,
+        )
+
+    @staticmethod
     def _generate(rng, inputs, all_outputs, asset_def, fee, valid_until,
                   proving_key, extra_proof_bound_data):
         """(reference transfer.rs:283-338)"""
+        from cap_tpu.plonk import prover as plonk_prover
+
+        prep = TransferNote.prepare(
+            rng, inputs, all_outputs, asset_def, fee, valid_until,
+            proving_key, extra_proof_bound_data,
+        )
+        proof = plonk_prover.prove(
+            rng, proving_key.plonk_pk, prep.witness_values, prep.pub_scalars,
+            ext_msg=prep.ext_msg,
+        )
+        return TransferNote.from_prepared(prep, proof)
+
+    @staticmethod
+    def prepare(rng, inputs, all_outputs, asset_def, fee, valid_until,
+                proving_key, extra_proof_bound_data):
+        """Host stage of note generation: the full validation pipeline,
+        witness/public-input assembly, memo keypair, and tape-replayed
+        witness values.  Pair with a device plonk prove and
+        `from_prepared` — parallel/queue.py uses this split to overlap
+        host prep with device proving across a note queue."""
         n_in, n_out = len(inputs), len(all_outputs)
         if (n_in, n_out) != (proving_key.n_inputs, proving_key.n_outputs):
             raise InvalidParameterError("proving key shape mismatch")
@@ -164,9 +221,24 @@ class TransferNote:
         )
         validation.check_distinct_input_nullifiers(pub_input.input_nullifiers)
         memo_kp = SchnorrKeyPair.generate(rng)
-        proof = transfer_proof.prove(
-            rng, proving_key, witness, pub_input, memo_kp.vk, extra_proof_bound_data
+        wvals, pubs, ext = transfer_proof.prepare_prove(
+            proving_key, witness, pub_input, memo_kp.vk, extra_proof_bound_data
         )
+        return PreparedTransfer(
+            pub_input=pub_input,
+            memo_keypair=memo_kp,
+            witness_values=wvals,
+            pub_scalars=pubs,
+            ext_msg=ext,
+            fee=fee,
+            valid_until=valid_until,
+            extra_proof_bound_data=extra_proof_bound_data,
+        )
+
+    @staticmethod
+    def from_prepared(prep: "PreparedTransfer", proof):
+        """Assemble the note from a prepared context and its proof."""
+        pub_input = prep.pub_input
         note = TransferNote(
             inputs_nullifiers=pub_input.input_nullifiers,
             output_commitments=pub_input.output_commitments,
@@ -174,13 +246,13 @@ class TransferNote:
             viewing_memo=pub_input.viewing_memo,
             aux_info=AuxInfo(
                 merkle_root=pub_input.merkle_root,
-                fee=fee,
-                valid_until=valid_until,
-                txn_memo_ver_key=memo_kp.vk,
-                extra_proof_bound_data=extra_proof_bound_data,
+                fee=prep.fee,
+                valid_until=prep.valid_until,
+                txn_memo_ver_key=prep.memo_keypair.vk,
+                extra_proof_bound_data=prep.extra_proof_bound_data,
             ),
         )
-        return note, memo_kp
+        return note, prep.memo_keypair
 
     # -- verification --------------------------------------------------------
     def check_instance_and_get_public_input(self, merkle_root, timestamp):

@@ -409,6 +409,87 @@ def test_viewed_credential_transfer():
         )
 
 
+def test_multi_user_fee_collection_block():
+    """examples.rs:989+ block flow: several users' transfers land in ONE
+    block, the validator collects their fees into a single native record
+    for the fee collector, and the collector can then SPEND the collected
+    record (spendability proven by the fixture's real satisfiability
+    check)."""
+    rng, keys, ledger, validator = _setup_world()
+    alice = UserKeyPair.generate(rng)
+    bob = UserKeyPair.generate(rng)
+    carol = UserKeyPair.generate(rng)
+    dave = UserKeyPair.generate(rng)
+    collector = UserKeyPair.generate(rng)
+
+    ros = {
+        "alice": RecordOpening.new(rng, 20, AssetDefinition.native(), alice.pub_key()),
+        "bob": RecordOpening.new(rng, 20, AssetDefinition.native(), bob.pub_key()),
+    }
+    uids = {k: ledger.insert_record(RecordCommitment.from_ro(r))
+            for k, r in ros.items()}
+
+    def native_transfer(user, ro, uid, amount, fee):
+        dummy_ro, dummy_kp = RecordOpening.dummy(rng)
+        inputs = [
+            TransferNoteInput(
+                ro=ro,
+                acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, uid),
+                owner_keypair=user,
+            ),
+            TransferNoteInput(
+                ro=dummy_ro,
+                acc_member_witness=AccMemberWitness.dummy(DEPTH),
+                owner_keypair=dummy_kp,
+            ),
+        ]
+        out_ro = RecordOpening.new(rng, amount, AssetDefinition.native(),
+                                   carol.pub_key())
+        note, _, chg = TransferNote.generate_native(
+            rng, inputs, [out_ro], fee, valid_until=5, proving_key=keys.transfer_pk
+        )
+        return note, chg
+
+    note_a, _ = native_transfer(alice, ros["alice"], uids["alice"], 5, 2)
+    note_b, _ = native_transfer(bob, ros["bob"], uids["bob"], 7, 2)
+
+    block = validator.validate_and_apply_block(
+        rng, [TransactionNote.transfer(note_a), TransactionNote.transfer(note_b)],
+        collector.pub_key(),
+    )
+    assert block.fee_record is not None
+    assert block.fee_record.amount == 4                     # 2 + 2 collected
+    assert block.fee_record.pub_key == collector.pub_key()
+    assert block.fee_record.asset_def.is_native()
+    for n in note_a.inputs_nullifiers + note_b.inputs_nullifiers:
+        assert not ledger.check_nullifier_unspent(n)
+
+    # -- the collector spends the collected fee record ------------------------
+    uid_fee = ledger.tree.num_leaves - 1                    # fee record is last
+    dummy_ro, dummy_kp = RecordOpening.dummy(rng)
+    spend_inputs = [
+        TransferNoteInput(
+            ro=block.fee_record,
+            acc_member_witness=AccMemberWitness.lookup_from_tree(ledger.tree, uid_fee),
+            owner_keypair=collector,
+        ),
+        TransferNoteInput(
+            ro=dummy_ro,
+            acc_member_witness=AccMemberWitness.dummy(DEPTH),
+            owner_keypair=dummy_kp,
+        ),
+    ]
+    out_ro = RecordOpening.new(rng, 3, AssetDefinition.native(), dave.pub_key())
+    spend_note, _, _ = TransferNote.generate_native(
+        rng, spend_inputs, [out_ro], 1, valid_until=5, proving_key=keys.transfer_pk
+    )
+    block2 = validator.validate_and_apply_block(
+        rng, [TransactionNote.transfer(spend_note)], collector.pub_key()
+    )
+    assert block2.fee_record.amount == 1
+    assert not ledger.check_nullifier_unspent(spend_note.inputs_nullifiers[0])
+
+
 def test_block_intra_double_spend_rejected():
     rng, keys, ledger, validator = _setup_world()
     user = UserKeyPair.generate(rng)

@@ -82,6 +82,19 @@ def test_small_circuit_batch_verify(setup):
     assert not verifier.batch_verify([vk, vk], [pubs2, pubs2], [proof1, proof2])
 
 
+def test_solidity_transcript_seam(setup, monkeypatch):
+    """CAP_TRANSCRIPT=solidity routes prove AND verify through the
+    SolidityTranscript layout twin; proofs are transcript-class-bound
+    (a v2w verify of a solidity proof must fail)."""
+    rng, c, srs, pk, vk = setup
+    pubs = c.public_input()
+    monkeypatch.setenv("CAP_TRANSCRIPT", "solidity")
+    proof = prover.prove(rng, pk, c.witness_values, pubs, ext_msg=b"sol")
+    assert verifier.verify(vk, pubs, proof, ext_msg=b"sol")
+    monkeypatch.setenv("CAP_TRANSCRIPT", "v2w")
+    assert not verifier.verify(vk, pubs, proof, ext_msg=b"sol")
+
+
 def test_unsatisfiable_witness_rejected_by_prover(setup):
     rng, c, srs, pk, vk = setup
     w = list(c.witness_values)
