@@ -87,16 +87,28 @@ def _window_table(srs, m: int):
 def signed_table(srs, m: int, mult: int | None = None):
     """Signed-window digit table covering >= m points (cached per size).
 
-    The [513, mp, 32] uint16 layout costs 33 KB/point — 2^17 (the Aztec CRS
-    ceiling) fits in ~2.2 GB of HBM.  Cached per padded size so commits of a
-    smaller domain don't sweep a larger table.  `mult` overrides the pad
-    granularity (mesh commits pass D*WCHUNK)."""
+    The [513, mp, 32] uint16 layout costs ~33 KB/point: 1.1 GB at 2^15,
+    4.3 GB at 2^17 (the Aztec CRS ceiling).  Tables are cached per padded
+    size so commits of a smaller domain don't sweep a larger table, under
+    a total-bytes budget (CAP_MSM_TABLE_BUDGET_GB, default 5.0): building
+    a new size evicts smallest-first until the new total fits, so a
+    multi-shape run (bench grid, mixed batches) can climb to 2^17 without
+    accumulating every rung of the ladder in HBM.  `mult` overrides the
+    pad granularity (mesh commits pass D*WCHUNK)."""
+    import os
+
     mult = mult or msg_mod.WCHUNK
     mp = ((m + mult - 1) // mult) * mult
     tables = getattr(srs, "_signed_tables", None)
     if tables is None:
         tables = srs._signed_tables = {}
     if mp not in tables:
+        budget = float(os.environ.get("CAP_MSM_TABLE_BUDGET_GB", "5.0")) * 1e9
+        bytes_per_point = (2 * msg_mod.HALF + 1) * 32 * 2
+        need = mp * bytes_per_point
+        while tables and sum(k * bytes_per_point for k in tables) + need > budget:
+            smallest = min(tables)
+            tables.pop(smallest).delete()
         k = min(mp, srs.num_points)
         tables[mp] = msg_mod.build_signed_table(srs.g1_x[:k], srs.g1_y[:k], k, mp=mp)
     return tables[mp]
