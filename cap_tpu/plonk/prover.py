@@ -84,6 +84,17 @@ def _window_table(srs, m: int):
     return cached
 
 
+def _srs_fingerprint(srs) -> str:
+    """Cheap stable identity for an SRS: first/last G1 point + count."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.asarray(srs.g1_x[:1]).tobytes())
+    h.update(np.asarray(srs.g1_y[-1:]).tobytes())
+    h.update(str(srs.num_points).encode())
+    return h.hexdigest()[:16]
+
+
 def signed_table(srs, m: int, mult: int | None = None):
     """Signed-window digit table covering >= m points (cached per size).
 
@@ -94,7 +105,12 @@ def signed_table(srs, m: int, mult: int | None = None):
     a new size evicts smallest-first until the new total fits, so a
     multi-shape run (bench grid, mixed batches) can climb to 2^17 without
     accumulating every rung of the ladder in HBM.  `mult` overrides the
-    pad granularity (mesh commits pass D*WCHUNK)."""
+    pad granularity (mesh commits pass D*WCHUNK).
+
+    Built tables are also persisted to disk (CAP_MSM_TABLE_DISK=0 to turn
+    off; dir CAP_MSM_TABLE_DIR, default data/msm_tables): a table build is
+    a ~4 min one-time device job per (SRS, size, c) while a reload is
+    seconds, so cold-start provers skip straight to proving."""
     import os
 
     mult = mult or msg_mod.WCHUNK
@@ -109,8 +125,31 @@ def signed_table(srs, m: int, mult: int | None = None):
         while tables and sum(k * bytes_per_point for k in tables) + need > budget:
             smallest = min(tables)
             tables.pop(smallest).delete()
-        k = min(mp, srs.num_points)
-        tables[mp] = msg_mod.build_signed_table(srs.g1_x[:k], srs.g1_y[:k], k, mp=mp)
+        # only sizeable tables are worth disk space (small ones rebuild in
+        # seconds and the CPU suite churns many tiny throwaway SRS's)
+        use_disk = (
+            os.environ.get("CAP_MSM_TABLE_DISK", "1") == "1" and mp >= 16384
+        )
+        path = None
+        if use_disk:
+            tdir = os.environ.get("CAP_MSM_TABLE_DIR", "data/msm_tables")
+            path = os.path.join(
+                tdir,
+                f"signed_c{msg_mod.WINDOW_BITS}_m{mp}_{_srs_fingerprint(srs)}.npy",
+            )
+        if path is not None and os.path.exists(path):
+            tables[mp] = jnp.asarray(np.load(path))
+        else:
+            k = min(mp, srs.num_points)
+            tables[mp] = msg_mod.build_signed_table(
+                srs.g1_x[:k], srs.g1_y[:k], k, mp=mp
+            )
+            if path is not None:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, np.asarray(tables[mp]))
+                os.replace(tmp, path)
     return tables[mp]
 
 
