@@ -14,6 +14,16 @@ per BASELINE.md once a Rust host is available).
 Env knobs:
   CAP_BENCH=transfer|mint|freeze|msm|ntt|field   (default transfer)
   CAP_BENCH_REPS=N                               (default 3)
+  CAP_BENCH_DEADLINE=seconds                     (default 1500)
+
+Cold-start policy (round-2 post-mortem: BENCH_r02 rc=124 because the run
+paid SRS generation + preprocess + two ~4-min signed-table builds + axon
+first-compiles inside the driver budget): the headline path now (a) loads
+the stored full-mode transfer proving key (data/*.npz) so preprocess is a
+file read, (b) falls back to the windowed-digit MSM engine whenever no
+cached signed table exists on disk (its table builds in ~60 s vs ~4 min),
+and (c) stops repeating measurements when the soft deadline nears — one
+warm measurement is enough for the JSON line.
 """
 
 from __future__ import annotations
@@ -23,6 +33,18 @@ import os
 import sys
 import time
 
+T0 = time.time()
+DEADLINE = float(os.environ.get("CAP_BENCH_DEADLINE", "1500"))
+
+
+def time_left() -> float:
+    return DEADLINE - (time.time() - T0)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {time.time()-T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -31,6 +53,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 RUST_BASELINE_TRANSFER_S = 2.0
 RUST_BASELINE_MINT_S = 0.9     # domain 2^14 ~ half the transfer cost
 RUST_BASELINE_FREEZE_S = 0.9
+
+
+def _pick_msm_engine() -> None:
+    """Fall back to the windowed MSM when no signed table is cached on disk
+    and the deadline can't absorb a ~4-min-per-size signed-table build."""
+    if os.environ.get("CAP_MSM"):
+        return  # explicit choice wins
+    import glob
+
+    from cap_tpu.ops import msm_signed as ms
+
+    tdir = os.environ.get("CAP_MSM_TABLE_DIR", "data/msm_tables")
+    cached = glob.glob(os.path.join(tdir, f"signed_v*_c{ms.WINDOW_BITS}_m*.npy"))
+    if not cached and time_left() < 1200:
+        _log("no cached signed MSM table; falling back to CAP_MSM=windowed")
+        os.environ["CAP_MSM"] = "windowed"
 
 
 def bench_note(kind: str, reps: int):
@@ -47,11 +85,28 @@ def bench_note(kind: str, reps: int):
     )
     from cap_tpu.utils.rng import test_rng
 
+    from cap_tpu import parameters as params
+
     rng = test_rng()
     depth = 6
+    _pick_msm_engine()
+    _log(f"loading staging SRS (engine={os.environ.get('CAP_MSM', 'signed')})")
     srs = universal_setup_for_staging(2**15 + 2, "data")
+    _log("SRS ready")
     if kind == "transfer":
-        pk, vk = tproof.preprocess(srs, 2, 2, depth)
+        # full-mode stored key: loading skips circuit synthesis AND the
+        # 18-poly commit batch (parameters.py); fresh preprocess only on a
+        # cold checkout, and then the key is stored for the next run.
+        try:
+            pk = params.load_transfer_proving_key(2, 2, depth)
+        except Exception:
+            _log("no stored transfer pk; preprocessing (one-time)")
+            pk, _vk = tproof.preprocess(srs, 2, 2, depth)
+            try:
+                params.store_transfer_proving_key(pk, 2, 2, depth, mode="full")
+            except Exception as e:
+                _log(f"pk store failed (non-fatal): {e}")
+        _log("transfer pk ready")
         builder = lambda: TransferParamsBuilder(rng, 2, 2, depth, non_native=True,
                                                 with_viewer=True)
         gen = lambda b: b.build_transfer_note(pk)[0]
@@ -70,14 +125,20 @@ def bench_note(kind: str, reps: int):
         baseline = RUST_BASELINE_FREEZE_S
         metric = f"{kind}_prove_seconds"
 
+    t0 = time.time()
     gen(builder())  # warm-up (compile)
+    warm = time.time() - t0
+    _log(f"warm-up prove done ({warm:.1f}s); measuring")
     times = []
     for _ in range(reps):
+        if times and time_left() < max(60.0, 2.5 * times[-1]):
+            _log(f"deadline near; stopping after {len(times)} reps")
+            break
         b = builder()
         t0 = time.time()
         gen(b)
         times.append(time.time() - t0)
-    best = min(times)
+    best = min(times) if times else warm
     return {
         "metric": metric,
         "value": round(best, 3),

@@ -59,10 +59,17 @@ def _key_path(kind: str, role: str, n_in: int, n_out: int, depth: int, ext: str)
 # ---------------------------------------------------------------------------
 
 
+def _circuit_fingerprint() -> str:
+    from cap_tpu.proof.tape_cache import _circuit_fingerprint as fp
+
+    return fp()
+
+
 def _store_pk(kind: str, plonk_pk, n_in: int, n_out: int, depth: int,
               mode: str) -> str:
     meta = {"kind": kind, "n_in": n_in, "n_out": n_out, "depth": depth,
-            "srs_degree": plonk_pk.srs.max_degree, "mode": mode}
+            "srs_degree": plonk_pk.srs.max_degree, "mode": mode,
+            "circuit_fingerprint": _circuit_fingerprint()}
     if mode == "lazy":
         path = _key_path(kind, "prover", n_in, n_out, depth, "json")
         with open(path, "w") as f:
@@ -101,6 +108,14 @@ def _load_pk_full(path: str):
 
     with np.load(path) as z:
         meta = json.loads(z["meta"].tobytes().decode())
+        stored_fp = meta.get("circuit_fingerprint")
+        if stored_fp is not None and stored_fp != _circuit_fingerprint():
+            # circuit/gadget/rescue sources changed since this key was
+            # stored — its selector/sigma tables describe a stale circuit
+            raise ValueError(
+                f"stored key {path} was built from different circuit sources "
+                f"({stored_fp} != {_circuit_fingerprint()}); regenerate it"
+            )
         vk = VerifyingKey.from_bytes(z["vk"].tobytes())
         srs = load_universal_parameter(meta["srs_degree"])
         pk, _ = preprocess_from_arrays(

@@ -84,14 +84,24 @@ def _window_table(srs, m: int):
     return cached
 
 
-def _srs_fingerprint(srs) -> str:
-    """Cheap stable identity for an SRS: first/last G1 point + count."""
+# table-file format version: bump when the packed layout (limb-major uint16
+# planes, TABLE_ROWS x mp x 32) or NLIMBS changes, so stale files in the old
+# layout are never silently loaded (ADVICE r2).
+TABLE_FORMAT = "v2"
+
+
+def _srs_fingerprint(srs, k: int) -> str:
+    """Identity of the [:k] SRS prefix a table covers: spread sample points
+    (indices 0, k//2, k-1 of both coordinates) + the prefix length.  The r2
+    version hashed the SRS endpoints only — the generator carries zero
+    entropy and truncated views of one CRS collided (ADVICE r2)."""
     import hashlib
 
     h = hashlib.sha256()
-    h.update(np.asarray(srs.g1_x[:1]).tobytes())
-    h.update(np.asarray(srs.g1_y[-1:]).tobytes())
-    h.update(str(srs.num_points).encode())
+    for i in (0, k // 2, k - 1):
+        h.update(np.asarray(srs.g1_x[i]).tobytes())
+        h.update(np.asarray(srs.g1_y[i]).tobytes())
+    h.update(str(k).encode())
     return h.hexdigest()[:16]
 
 
@@ -130,26 +140,44 @@ def signed_table(srs, m: int, mult: int | None = None):
         use_disk = (
             os.environ.get("CAP_MSM_TABLE_DISK", "1") == "1" and mp >= 16384
         )
+        k = min(mp, srs.num_points)
         path = None
         if use_disk:
             tdir = os.environ.get("CAP_MSM_TABLE_DIR", "data/msm_tables")
             path = os.path.join(
                 tdir,
-                f"signed_c{msg_mod.WINDOW_BITS}_m{mp}_{_srs_fingerprint(srs)}.npy",
+                f"signed_{TABLE_FORMAT}_c{msg_mod.WINDOW_BITS}_m{mp}_"
+                f"{_srs_fingerprint(srs, k)}.npy",
             )
+        loaded = None
         if path is not None and os.path.exists(path):
-            tables[mp] = jnp.asarray(np.load(path))
+            arr = np.load(path)
+            want = (msg_mod.TABLE_ROWS, mp, 2 * NLIMBS)
+            if arr.shape == want and arr.dtype == np.uint16:
+                loaded = jnp.asarray(arr)
+            # else: truncated/corrupt/stale file — fall through to rebuild
+        if loaded is not None:
+            tables[mp] = loaded
         else:
-            k = min(mp, srs.num_points)
             tables[mp] = msg_mod.build_signed_table(
                 srs.g1_x[:k], srs.g1_y[:k], k, mp=mp
             )
             if path is not None:
+                import tempfile
+
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    np.save(f, np.asarray(tables[mp]))
-                os.replace(tmp, path)
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.dirname(path), suffix=".tmp"
+                )
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        np.save(f, np.asarray(tables[mp]))
+                    os.replace(tmp, path)
+                except BaseException:
+                    try:
+                        os.unlink(tmp)
+                    finally:
+                        raise
     return tables[mp]
 
 
@@ -702,7 +730,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
 
     if (
         os.environ.get("CAP_FUSED_PROVE", "0") == "1"
-        and os.environ.get("CAP_TRANSCRIPT", "v2w") == "v2w"  # device twin is v2w-only
+        and os.environ.get("CAP_TRANSCRIPT", "solidity") == "v2w"  # device twin is v2w-only
         and _prover_mesh() is None
         and os.environ.get("CAP_PROVE_TIMING", "0") != "1"
     ):
@@ -725,10 +753,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     p = FR.p
 
     transcript = new_transcript()
-    transcript.append_bytes(b"vk", pk.vk.digest())
-    transcript.append_scalars(b"pub", pub_inputs)
-    if ext_msg is not None:
-        transcript.append_bytes(b"ext", ext_msg)
+    transcript.begin_proof(pk.vk, pub_inputs, ext_msg)
 
     # round 1 — wire polynomials: upload the witness once (uint16 limbs),
     # gather + Montgomery-convert on device.  witness_values is either a

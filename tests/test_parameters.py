@@ -107,6 +107,8 @@ def test_proving_key_lazy_stub_is_json(small_pk):
     assert path.endswith(".json")
     with open(path) as f:
         meta = json.load(f)
+    fp = meta.pop("circuit_fingerprint")
+    assert isinstance(fp, str) and len(fp) == 12
     assert meta == {"kind": "transfer", "n_in": 3, "n_out": 3, "depth": 7,
                     "srs_degree": pk.srs.max_degree, "mode": "lazy"}
 
