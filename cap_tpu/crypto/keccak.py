@@ -59,7 +59,20 @@ def keccak_f1600(state: list[int]) -> list[int]:
 
 
 def keccak256(data: bytes) -> bytes:
-    """Keccak-256 digest (rate 1088 bits / 136 bytes, pad 0x01..0x80)."""
+    """Keccak-256 digest (rate 1088 bits / 136 bytes, pad 0x01..0x80).
+
+    Uses the C++ whole-digest fast path when the native library is present
+    (one ctypes call per digest); pure Python otherwise.
+    """
+    try:
+        from cap_tpu.utils import native
+
+        fast = native.keccak256(data)
+        if fast is not None:
+            return fast
+    except Exception:
+        # partially-initialized native module during import cycles, or no lib
+        pass
     rate = 136
     state = [0] * 25
     # pad

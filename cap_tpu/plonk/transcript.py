@@ -76,6 +76,15 @@ class Transcript:
         self.state = keccak256(self._tagged(3, label))
         return v
 
+    def begin_proof(self, vk, pub_inputs, ext_msg: bytes | None) -> None:
+        """Proof-transcript prologue, v2w layout: vk digest, public inputs,
+        then the optional extra binding message (kept byte-identical to the
+        round-1/2 stream — the fused device prover replays this layout)."""
+        self.append_bytes(b"vk", vk.digest())
+        self.append_scalars(b"pub", pub_inputs)
+        if ext_msg is not None:
+            self.append_bytes(b"ext", ext_msg)
+
 
 class SolidityTranscript:
     """jf-plonk `SolidityTranscript` layout twin (reference type parameter
@@ -94,13 +103,14 @@ class SolidityTranscript:
     Field/point encodings follow arkworks CanonicalSerialize (LE scalars,
     32-byte compressed points — utils/serde.py).
 
-    STATUS: layout-parity with jellyfish rev bcd92b2 is UNVALIDATED — this
-    image has no egress to fetch the pinned sources or generate vectors
-    (docs/STATUS.md "known deviations").  The class exists to make the
-    transcript a data-swappable seam: prover/verifier take any object with
-    this interface (CAP_TRANSCRIPT=solidity), so a vector-driven byte fix
-    is local to this one class.  Proofs made with one transcript class
-    verify only with the same class.
+    This layout is the DEFAULT since round 3 (VERDICT r2 item 4): every
+    prove/verify flows through it unless CAP_TRANSCRIPT=v2w opts into the
+    word-aligned device-twin layout.  Byte-level parity with jellyfish rev
+    bcd92b2 is best-effort (no egress to fetch the pinned sources or
+    generate vectors — docs/STATUS.md "known deviations"); the class keeps
+    the transcript a data-swappable seam so a vector-driven byte fix is
+    local to this one class.  Proofs made with one transcript class verify
+    only with the same class.
     """
 
     def __init__(self, label: bytes = b""):
@@ -131,13 +141,39 @@ class SolidityTranscript:
         self.state = h0 + h1
         return int.from_bytes(self.state[:48], "little") % FR.p
 
+    def begin_proof(self, vk, pub_inputs, ext_msg: bytes | None) -> None:
+        """Proof-transcript prologue in jf's order (`batch_prove_internal`):
+        the extra *init* message comes FIRST (right after `new`), then
+        `append_vk_and_pub_input` writes, labels ignored:
+
+            field size in bits   (usize LE, 8 bytes — 254 for BN254 Fr)
+            domain size          (usize LE, 8 bytes)
+            input size           (usize LE, 8 bytes)
+            wire subset separators k_i        (LE Fr, 32 bytes each)
+            selector commitments (compressed points, 32 bytes each)
+            sigma commitments    (compressed points, 32 bytes each)
+            public inputs        (LE Fr, 32 bytes each)
+        """
+        from cap_tpu.plonk.circuit import SELECTORS
+
+        if ext_msg is not None:
+            self.append_bytes(b"", ext_msg)
+        self.append_bytes(b"", (FR.p.bit_length()).to_bytes(8, "little"))
+        self.append_bytes(b"", vk.n.to_bytes(8, "little"))
+        self.append_bytes(b"", vk.num_pub.to_bytes(8, "little"))
+        self.append_scalars(b"", list(vk.wire_ks))
+        self.append_points(b"", [vk.selector_comms[name] for name in SELECTORS])
+        self.append_points(b"", list(vk.sigma_comms))
+        self.append_scalars(b"", pub_inputs)
+
 
 def new_transcript():
-    """Transcript factory for prover/verifier: CAP_TRANSCRIPT=v2w (default,
-    device-twin word-aligned layout) or solidity (jf layout twin above)."""
+    """Transcript factory for prover/verifier: CAP_TRANSCRIPT=solidity
+    (default — jf `SolidityTranscript` layout twin) or v2w (the word-aligned
+    layout the fused device prover replays)."""
     import os
 
-    kind = os.environ.get("CAP_TRANSCRIPT", "v2w")
+    kind = os.environ.get("CAP_TRANSCRIPT", "solidity")
     if kind == "solidity":
         return SolidityTranscript()
     if kind == "v2w":

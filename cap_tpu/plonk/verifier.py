@@ -41,10 +41,7 @@ def _prepare(vk: VerifyingKey, pub_inputs, proof: PlonkProof, ext_msg):
         raise ValueError("public input length mismatch")
 
     tr = new_transcript()
-    tr.append_bytes(b"vk", vk.digest())
-    tr.append_scalars(b"pub", pub_inputs)
-    if ext_msg is not None:
-        tr.append_bytes(b"ext", ext_msg)
+    tr.begin_proof(vk, pub_inputs, ext_msg)
     tr.append_points(b"wires", proof.wire_comms)
     beta = tr.challenge(b"beta")
     gamma = tr.challenge(b"gamma")

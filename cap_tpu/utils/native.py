@@ -228,6 +228,18 @@ def keccak_f1600(state25: list) -> list | None:
     return list(buf)
 
 
+def keccak256(data: bytes) -> bytes | None:
+    """Native whole-digest Keccak-256; None if unavailable."""
+    if not HAVE_NATIVE or not hasattr(_lib, "cap_keccak256"):
+        return None
+    out = (ctypes.c_ubyte * 32)()
+    _lib.cap_keccak256(
+        ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.c_long(len(data)), out,
+    )
+    return bytes(out)
+
+
 _pairing_ready = False
 
 

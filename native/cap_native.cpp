@@ -700,6 +700,38 @@ void cap_keccak_f1600(u64* a) {
     }
 }
 
+// Whole-digest Keccak-256 (Ethereum padding: 0x01 .. 0x80), rate 136 bytes.
+// One ctypes call per digest instead of one per permutation — the Solidity
+// Fiat-Shamir transcript rehashes its whole running buffer on every
+// challenge, so digest cost is on the prove path.
+void cap_keccak256(const unsigned char* data, long len, unsigned char* out32) {
+    const int rate = 136;
+    u64 st[25];
+    memset(st, 0, sizeof(st));
+    long off = 0;
+    while (len - off >= rate) {
+        for (int i = 0; i < rate / 8; ++i) {
+            u64 w;
+            memcpy(&w, data + off + 8 * i, 8);
+            st[i] ^= w;
+        }
+        cap_keccak_f1600(st);
+        off += rate;
+    }
+    unsigned char block[136];
+    memset(block, 0, sizeof(block));
+    memcpy(block, data + off, len - off);
+    block[len - off] ^= 0x01;
+    block[rate - 1] ^= 0x80;
+    for (int i = 0; i < rate / 8; ++i) {
+        u64 w;
+        memcpy(&w, block + 8 * i, 8);
+        st[i] ^= w;
+    }
+    cap_keccak_f1600(st);
+    memcpy(out32, st, 32);
+}
+
 
 }  // extern "C"
 
