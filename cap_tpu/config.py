@@ -52,21 +52,30 @@ Config = CapConfig(
 )
 
 
-def bls12_377_scalar_config() -> CapConfig:
-    """BLS12-377 seam instance (reference config.rs:63-84 bls12_377 feature).
+def bls12_377_config() -> CapConfig:
+    """BLS12-377 instance (reference config.rs:63-84 bls12_377 feature).
 
-    The scalar field is fully live — field arithmetic, NTT domains, and the
-    MXU matmul path are generic over its constants (tests/test_multicurve.py).
-    The 377-bit base field needs the 24-limb layout extension and the
-    ed_on_bls12_377 embedded curve constants before proofs can run on this
-    curve; until then base/embedded entries are None and any use raises.
+    All four bindings are live: the 253-bit scalar field runs on the generic
+    limb/NTT/MXU stack (tests/test_multicurve.py); the 377-bit base field,
+    G1/G2, and the full ate pairing live in crypto/bls12_377.py; the
+    embedded curve is ed_on_bls12_377 (TE a=-1, d=3021, cofactor 4 — the
+    parameters are order-verified at import).  TurboPlonk proofs over this
+    curve run through the curve-generic host pipeline
+    (plonk/prover_host.py, exercised by tests/test_multicurve.py); the
+    device kernels stay specialized to the production bn254 limb layout.
     """
-    from cap_tpu.fields.host import FR_BLS12_377
+    from cap_tpu.crypto import bls12_377 as B
+    from cap_tpu.fields.host import FQ_BLS12_377, FR_BLS12_377, FR_EMB_BLS12_377
 
     return CapConfig(
         name="bls12_377",
-        base_field=None,
+        base_field=FQ_BLS12_377,
         scalar_field=FR_BLS12_377,
-        embedded_scalar_field=None,
-        embedded_generator=None,
+        embedded_scalar_field=FR_EMB_BLS12_377,
+        embedded_generator=B.EMB_GEN,
     )
+
+
+def bls12_377_scalar_config() -> CapConfig:
+    """Backward-compat alias for the round-2 seam name."""
+    return bls12_377_config()

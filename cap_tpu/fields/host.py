@@ -242,14 +242,22 @@ FQ = PrimeField(BN254_FQ, "bn254::Fq")
 FR = PrimeField(BN254_FR, "bn254::Fr")
 FR_EMB = PrimeField(BABYJUBJUB_FR, "jubjub::Fr")
 
-# BLS12-377 scalar field (reference config.rs:63-84 bls12_377 feature; SRS
-# degrees double on this curve, src/utils/mod.rs:144-192).  253 bits — fits
-# the 16x16-bit limb layout, so the whole field/NTT/MXU stack is generic
-# over it (tests/test_multicurve.py proves the seam).  The 377-bit base
-# field needs a 24-limb layout — that widening plus the ed_on_bls12_377
-# embedded curve are the remaining constants for a full bls12_377 Config.
+# BLS12-377 fields (reference config.rs:63-84 bls12_377 feature; SRS
+# degrees double on this curve, src/utils/mod.rs:144-192).  Fr is 253 bits —
+# fits the 16x16-bit limb layout, so the whole field/NTT/MXU stack is
+# generic over it (tests/test_multicurve.py); proofs over this curve run
+# through the curve-generic host pipeline (plonk/prover_host.py) with the
+# full 377-bit base-field algebra in crypto/bls12_377.py.  The embedded
+# (ed_on_bls12_377) scalar field backs the CapConfig binding.
 BLS12_377_FR = 0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001
 FR_BLS12_377 = PrimeField(BLS12_377_FR, "bls12_377::Fr")
+# derived in crypto/bls12_377.py from x = 0x8508c00000000001: q = ((x-1)^2 r)/3 + x
+BLS12_377_FQ = 258664426012969094010652733694893533536393512754914660539884262666720468348340822774968888139573360124440321458177
+FQ_BLS12_377 = PrimeField(BLS12_377_FQ, "bls12_377::Fq")
+# ed_on_bls12_377 subgroup order (cofactor 4; verified against the Hasse
+# bound + random-point annihilation in tests/test_multicurve.py)
+ED_ON_BLS12_377_FR = 2111115437357092606062206234695386632838870926408408195193685246394721360383
+FR_EMB_BLS12_377 = PrimeField(ED_ON_BLS12_377_FR, "ed_on_bls12_377::Fr")
 
 
 def fr_to_fq_emb(a: int) -> int:
