@@ -146,6 +146,79 @@ class TransferParamsBuilder:
         ]
         return inputs, outputs
 
+    # -- mutation hooks (reference params_builder.rs:288-903) ----------------
+    # Each produces a NEAR-VALID state: everything is internally consistent
+    # except the one mutated fact, so negative tests prove the circuit (or
+    # the host validation pipeline) catches exactly that fact.
+
+    def update_input_amount(self, idx: int, amount: int) -> None:
+        """Change a non-fee input's amount AFTER its commitment was pushed:
+        the record no longer matches the accumulated leaf, so the in-circuit
+        Merkle-root recompute must fail (reference update_input_amount)."""
+        import dataclasses
+
+        self.input_ros[idx] = dataclasses.replace(self.input_ros[idx], amount=amount)
+
+    def update_output_amount(self, idx: int, amount: int) -> None:
+        self.output_amounts[idx] = amount
+
+    def update_fee(self, fee: int) -> None:
+        self.fee = fee
+
+    def update_valid_until(self, t: int) -> None:
+        self.valid_until = t
+
+    def update_acc_member_witness(self, idx: int, witness=None) -> "AccMemberWitness":
+        """Replace input idx's Merkle witness with a stale/foreign one (the
+        fee input is idx 0).  Default: the witness of a DIFFERENT leaf."""
+        other = (idx + 1) % len(self.uids)
+        wit = witness or AccMemberWitness.lookup_from_tree(self.tree, self.uids[other])
+        self._witness_overrides = getattr(self, "_witness_overrides", {})
+        self._witness_overrides[idx] = wit
+        return wit
+
+    def set_dummy_input_record(self, idx: int) -> None:
+        """Turn a non-fee input into a dummy record WITHOUT zeroing its
+        amount — dummy records must carry amount 0 (circuit/transfer.rs:78)."""
+        import dataclasses
+
+        ro = self.input_ros[idx]
+        self.input_ros[idx] = dataclasses.replace(
+            ro, asset_def=AssetDefinition.dummy()
+        )
+
+    def set_input_frozen(self, idx: int) -> None:
+        import dataclasses
+
+        from cap_tpu.structs import FROZEN
+
+        self.input_ros[idx] = dataclasses.replace(
+            self.input_ros[idx], freeze_flag=FROZEN
+        )
+
+    def swap_input_owner(self, idx: int, keypair=None) -> None:
+        """Spend input idx with a keypair that does NOT own the record
+        (prove_spend address-derivation must fail)."""
+        self.users[idx + 1] = keypair or UserKeyPair.generate(self.rng)
+
+    def set_expired_credential(self, idx: int) -> None:
+        """Re-issue input idx's credential already expired at valid_until."""
+        attrs = [IdentityAttribute.random(self.rng) for _ in range(ATTRS_LEN)]
+        self.creds[idx] = ExpirableCredential.create(
+            self.users[idx + 1].address(), attrs,
+            max(self.valid_until - 1, 0), self.issuer.keypair, self.rng,
+        )
+
+    def build_inputs_and_outputs_mutated(self):
+        """build_inputs_and_outputs + any update_acc_member_witness overrides."""
+        inputs, outputs = self.build_inputs_and_outputs()
+        for idx, wit in getattr(self, "_witness_overrides", {}).items():
+            inputs[idx] = TransferNoteInput(
+                ro=inputs[idx].ro, acc_member_witness=wit,
+                owner_keypair=inputs[idx].owner_keypair, cred=inputs[idx].cred,
+            )
+        return inputs, outputs
+
     def build_transfer_note(self, proving_key):
         inputs, outputs = self.build_inputs_and_outputs()
         if self.non_native:
@@ -190,6 +263,35 @@ class MintParamsBuilder:
             rng, self.fee + 10, AssetDefinition.native(), self.minter.pub_key()
         )
         self.uid = self.tree.push(self.fee_ro.derive_record_commitment())
+
+    # -- mutation hooks (reference params_builder.rs:934-1153) ---------------
+
+    def update_mint_amount(self, amount: int) -> None:
+        self.mint_amount = amount
+
+    def update_fee(self, fee: int) -> None:
+        self.fee = fee
+
+    def wrong_asset_code_seed(self) -> None:
+        """Witness seed no longer matches the asset definition's Keccak-bound
+        code: the in-circuit PRF output diverges from the public internal
+        code (reference mint negative grids)."""
+        self.seed = AssetCodeSeed.generate(self.rng)
+
+    def wrong_asset_description(self) -> None:
+        self.description = self.description + b" (tampered)"
+
+    def swap_minter(self, keypair=None) -> None:
+        """Fee input spent by a non-owner keypair."""
+        self.minter = keypair or UserKeyPair.generate(self.rng)
+
+    def stale_fee_witness(self) -> "AccMemberWitness":
+        """A witness for a different (freshly pushed) leaf."""
+        extra = RecordOpening.new(
+            self.rng, 1, AssetDefinition.native(), self.recv.pub_key()
+        )
+        uid = self.tree.push(extra.derive_record_commitment())
+        return AccMemberWitness.lookup_from_tree(self.tree, uid)
 
     def build_mint_note(self, proving_key):
         rng = self.rng
@@ -242,6 +344,27 @@ class FreezeParamsBuilder:
             ro = RecordOpening.new(rng, 40, self.asset_def, self.owner.pub_key())
             self.freeze_ros.append(ro)
             self.freeze_uids.append(self.tree.push(ro.derive_record_commitment()))
+
+    # -- mutation hooks (reference params_builder.rs:1156-1389) --------------
+
+    def update_fee(self, fee: int) -> None:
+        self.fee = fee
+
+    def update_input_amount(self, idx: int, amount: int) -> None:
+        """Change a freeze leg's amount after its commitment was accumulated
+        (stale leaf — in-circuit root recompute must fail)."""
+        import dataclasses
+
+        self.freeze_ros[idx] = dataclasses.replace(self.freeze_ros[idx], amount=amount)
+
+    def swap_freezer(self, keypair=None) -> None:
+        """Freeze with a keypair that does not match the records' policy."""
+        self.freezer = keypair or FreezerKeyPair.generate(self.rng)
+
+    def stale_leg_witness(self, idx: int) -> "AccMemberWitness":
+        """The witness of a different leaf, for leg idx."""
+        other_uid = self.fee_uid if idx != 0 or len(self.freeze_uids) == 1 else self.freeze_uids[1]
+        return AccMemberWitness.lookup_from_tree(self.tree, other_uid)
 
     def build_freeze_note(self, proving_key):
         rng = self.rng

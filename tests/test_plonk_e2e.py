@@ -103,3 +103,38 @@ def test_unsatisfiable_witness_rejected_by_prover(setup):
 
     with pytest.raises(FailedConstraintSystemError):
         prover.prove(rng, pk, w, c.public_input())
+
+
+def test_cross_wiring_negatives(setup):
+    """Cross-wiring grid at the plonk layer (reference proof/transfer.rs
+    599-760: every wrong vk/proof/pub-input/ext-msg combination fails).
+    Two distinct circuit SHAPES give genuinely different keys."""
+    rng, c, srs, pk, vk = setup
+    pubs = c.public_input()
+    proof = prover.prove(rng, pk, c.witness_values, pubs, ext_msg=b"m1")
+
+    # an independent circuit (different round count -> different selectors
+    # and vk) against the SAME srs, so batch_verify's shared-SRS rule holds
+    c2 = _pow5_chain_circuit(4242, rounds=35)
+    n2 = c2.finalize_for_arithmetization().n
+    assert n2 + 2 <= srs.max_degree
+    pk2, vk2 = prover.preprocess(srs, c2)
+    pubs2 = c2.public_input()
+    proof2 = prover.prove(rng, pk2, c2.witness_values, pubs2, ext_msg=b"m2")
+
+    # the right pairs pass
+    assert verifier.verify(vk, pubs, proof, ext_msg=b"m1")
+    assert verifier.verify(vk2, pubs2, proof2, ext_msg=b"m2")
+    # every cross-wired combination fails
+    assert not verifier.verify(vk2, pubs, proof, ext_msg=b"m1")      # wrong vk
+    assert not verifier.verify(vk, pubs2, proof, ext_msg=b"m1")     # wrong pubs
+    assert not verifier.verify(vk, pubs, proof2, ext_msg=b"m1")     # wrong proof
+    assert not verifier.verify(vk, pubs, proof, ext_msg=b"m2")      # wrong ext
+    assert not verifier.verify(vk, pubs, proof)                      # missing ext
+    # batch with one cross-wired entry fails too
+    assert not verifier.batch_verify(
+        [vk, vk2], [pubs, pubs2], [proof, proof], ext_msgs=[b"m1", b"m2"]
+    )
+    assert verifier.batch_verify(
+        [vk, vk2], [pubs, pubs2], [proof, proof2], ext_msgs=[b"m1", b"m2"]
+    )
