@@ -33,6 +33,16 @@ import os
 import sys
 import time
 
+# Pin the string-hash seed BEFORE jax loads: the XLA persistent compile
+# cache's keys for this repo's pallas programs vary with Python's randomized
+# str hash (measured: identical mont_mul_pallas programs MISS every process
+# unseeded, HIT with PYTHONHASHSEED=0).  An unpinned bench pays ~700 s of
+# axon recompiles per run — the round-2 rc=124 root cause alongside table
+# builds.  Re-exec once with the seed pinned.
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 T0 = time.time()
 DEADLINE = float(os.environ.get("CAP_BENCH_DEADLINE", "1500"))
 
