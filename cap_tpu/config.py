@@ -79,3 +79,26 @@ def bls12_377_config() -> CapConfig:
 def bls12_377_scalar_config() -> CapConfig:
     """Backward-compat alias for the round-2 seam name."""
     return bls12_377_config()
+
+
+def bls12_381_config() -> CapConfig:
+    """BLS12-381 instance (reference config.rs:25-84 bls12_381 feature).
+
+    The curve algebra (377-line generic BLS12 factory instantiated with
+    x = -0xd201000000010000, M-type twist) lives in crypto/bls12_381.py;
+    the embedded curve is Jubjub (ed_on_bls12_381, TE a=-1,
+    d=-(10240/10241), cofactor 8).  Fr has 2-adicity 32 — every radix-2
+    NTT domain the framework uses is available.  TurboPlonk proofs over
+    this curve run through the curve-generic host pipeline
+    (plonk/prover_host.py, exercised by tests/test_multicurve.py).
+    """
+    from cap_tpu.crypto import bls12_381 as B
+    from cap_tpu.fields.host import FQ_BLS12_381, FR_BLS12_381, FR_EMB_BLS12_381
+
+    return CapConfig(
+        name="bls12_381",
+        base_field=FQ_BLS12_381,
+        scalar_field=FR_BLS12_381,
+        embedded_scalar_field=FR_EMB_BLS12_381,
+        embedded_generator=B.EMB_GEN,
+    )

@@ -259,6 +259,19 @@ FQ_BLS12_377 = PrimeField(BLS12_377_FQ, "bls12_377::Fq")
 ED_ON_BLS12_377_FR = 2111115437357092606062206234695386632838870926408408195193685246394721360383
 FR_EMB_BLS12_377 = PrimeField(ED_ON_BLS12_377_FR, "ed_on_bls12_377::Fr")
 
+# BLS12-381 fields (reference config.rs:25-84 bls12_381 feature).  Fr is
+# 255 bits with 2-adicity 32; the curve algebra is derived from
+# x = -0xd201000000010000 in crypto/bls12_381.py via the generic BLS12
+# factory.  The embedded curve is Jubjub (ed_on_bls12_381, cofactor 8).
+BLS12_381_FR = 0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001
+FR_BLS12_381 = PrimeField(BLS12_381_FR, "bls12_381::Fr")
+BLS12_381_FQ = 0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB
+FQ_BLS12_381 = PrimeField(BLS12_381_FQ, "bls12_381::Fq")
+# Jubjub subgroup order (cofactor 8; Hasse + order assertions at import in
+# crypto/bls12_381.py)
+ED_ON_BLS12_381_FR = 0x0E7DB4EA6533AFA906673B0101343B00A6682093CCC81082D0970E5ED6F72CB7
+FR_EMB_BLS12_381 = PrimeField(ED_ON_BLS12_381_FR, "ed_on_bls12_381::Fr")
+
 
 def fr_to_fq_emb(a: int) -> int:
     """Embed an embedded-curve scalar into the circuit field Fr.

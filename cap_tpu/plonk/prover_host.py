@@ -77,6 +77,17 @@ def bls12_377_host_curve() -> HostCurve:
     )
 
 
+def bls12_381_host_curve() -> HostCurve:
+    from cap_tpu.crypto import bls12_381 as C
+    from cap_tpu.fields.host import FR_BLS12_381
+
+    return HostCurve(
+        name="bls12_381", fr=FR_BLS12_381, fq_bytes=48,
+        g1_gen=C.G1_GEN, g1_add=C.g1_add, g1_mul=C.g1_mul, g1_neg=C.g1_neg,
+        g2_gen=C.G2_GEN, g2_mul=C.g2_mul, pairing_check=C.pairing_check,
+    )
+
+
 # -- host NTT (iterative radix-2) ----------------------------------------------
 
 

@@ -146,6 +146,79 @@ def test_bls12_377_plonk_prove_verify():
     assert not verify_host(vk, pubs, proof, ext_msg=b"ctx")
 
 
+# -- BLS12-381: the third CapConfig curve (reference config.rs bls12_381) -----
+
+
+def test_bls12_381_constants_match_published():
+    """The generic BLS12 factory's derived q/r must equal the published
+    BLS12-381 moduli (reference binds ark-bls12-381)."""
+    from cap_tpu.crypto import bls12_381 as B
+    from cap_tpu.fields.host import BLS12_381_FQ, BLS12_381_FR
+
+    assert B.Q == BLS12_381_FQ
+    assert B.R == BLS12_381_FR
+    assert _is_probable_prime(B.Q) and _is_probable_prime(B.R)
+    from cap_tpu.fields.host import FR_BLS12_381
+
+    assert FR_BLS12_381.two_adicity == 32  # published BLS12-381 Fr 2-adicity
+
+
+def test_bls12_381_pairing_bilinear():
+    from cap_tpu.crypto import bls12_381 as B
+
+    assert B.g1_is_on_curve(B.G1_GEN) and B.g2_is_on_curve(B.G2_GEN)
+    e = B.pairing(B.G1_GEN, B.G2_GEN)
+    assert e != B.F12_ONE
+    a, b = 4321, 789
+    lhs = B.pairing(B.g1_mul(B.G1_GEN, a), B.g2_mul(B.G2_GEN, b))
+    assert lhs == B.f12_pow(e, a * b % B.R)
+    assert B.pairing_check(
+        [(B.G1_GEN, B.G2_GEN), (B.g1_neg(B.G1_GEN), B.G2_GEN)]
+    )
+
+
+def test_bls12_381_embedded_curve_and_config():
+    from cap_tpu.crypto import bls12_381 as B
+
+    g = B.EMB_GEN
+    assert B.emb_mul(g, 7) == B.emb_add(B.emb_mul(g, 3), B.emb_mul(g, 4))
+    from cap_tpu.config import bls12_381_config
+
+    cfg = bls12_381_config()
+    assert cfg.base_field.p == B.Q
+    assert cfg.scalar_field.p == B.R
+    assert cfg.embedded_scalar_field.p == B.EMB_R
+    assert cfg.embedded_generator == g
+
+
+def test_bls12_381_plonk_prove_verify():
+    """One real TurboPlonk proof over BLS12-381 through the curve-generic
+    host pipeline (reference config.rs:25-84)."""
+    from cap_tpu.plonk.circuit import PlonkCircuit
+    from cap_tpu.plonk.prover_host import (
+        bls12_381_host_curve, preprocess_host, prove_host, setup_host,
+        verify_host,
+    )
+    from cap_tpu.utils.rng import test_rng
+
+    curve = bls12_381_host_curve()
+    rng2 = test_rng()
+    c = PlonkCircuit(curve.fr)
+    x = c.load(54321)
+    for i in range(12):
+        x5 = c.mul(c.mul(c.mul(x, x), c.mul(x, x)), x)
+        x = c.lc_with_constant([x5, x, c.one, c.one], [1, 1, 0, 0], i)
+    c.set_variable_public(x)
+    n = c.finalize_for_arithmetization().n
+    srs = setup_host(n + 2, rng2, curve)
+    pk, vk = preprocess_host(srs, c)
+    pubs = c.public_input()
+    proof = prove_host(rng2, pk, c.witness_values, pubs)
+    assert verify_host(vk, pubs, proof)
+    assert not verify_host(vk, [(pubs[0] + 1) % curve.fr.p], proof)
+    assert not verify_host(vk, pubs, proof, ext_msg=b"ctx")
+
+
 def test_host_prover_cross_checks_device_path_bn254():
     """The curve-generic host prover doubles as an independent differential
     check of the bn254 device pipeline: both provers' proofs verify under
