@@ -22,6 +22,7 @@ from cap_tpu.crypto.jubjub import NEUTRAL, TEPoint
 from cap_tpu.crypto.rescue import RescuePermutation, RescuePRF
 from cap_tpu.constants import ATTRS_LEN, VIEWABLE_DATA_LEN
 from cap_tpu.errors import (
+    FailedPrimitivesError,
     FailedViewableMemoDecryptionError,
     InvalidParameterError,
 )
@@ -66,7 +67,11 @@ class UserPubKey:
     enc_key: AeadEncKey
 
     def encrypt(self, rng, msg: bytes, label: bytes = b"") -> AeadCiphertext:
-        return self.enc_key.encrypt(rng, msg, label)
+        """(reference keys.rs:100-113: AEAD failure -> FailedPrimitives)"""
+        try:
+            return self.enc_key.encrypt(rng, msg, label)
+        except Exception as e:
+            raise FailedPrimitivesError(f"AEAD encryption failed: {e}") from e
 
     def verify_sig(self, msg: bytes, sig: schnorr.SchnorrSignature) -> bool:
         return schnorr.verify(self.address, [hash_to_field(FR, b"cap-tpu:user-sig", msg)], sig)

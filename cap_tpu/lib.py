@@ -10,6 +10,7 @@ from enum import Enum
 from cap_tpu.errors import (
     FailedReceiverMemoSignatureError,
     FailedTransactionVerificationError,
+    IncorrectFeeError,
     InvalidParameterError,
 )
 from cap_tpu.freeze import FreezeNote
@@ -139,11 +140,14 @@ def derive_txns_fee_records(rng, fee_collector_pub_key, notes) -> RecordOpening:
 
 
 def calculate_fee(notes) -> int:
-    """(reference lib.rs:575-586)"""
-    return safe_sum_amount(
-        (tn.fee() if isinstance(tn, TransactionNote) else tn.aux_info.fee)
-        for tn in notes
-    )
+    """(reference lib.rs:575-586; overflow -> IncorrectFee, lib.rs:585)"""
+    try:
+        return safe_sum_amount(
+            (tn.fee() if isinstance(tn, TransactionNote) else tn.aux_info.fee)
+            for tn in notes
+        )
+    except InvalidParameterError as e:
+        raise IncorrectFeeError(f"overflow in total fee: {e}") from e
 
 
 def sign_receiver_memos(keypair, memos):

@@ -40,7 +40,9 @@ from cap_tpu.crypto.rescue import RescueCommitment, RescuePermutation, RescuePRF
 from cap_tpu.crypto.schnorr import SchnorrKeyPair, SchnorrSignature
 from cap_tpu.crypto.schnorr import verify as schnorr_verify
 from cap_tpu.errors import (
+    FailedAssetCodeVerificationError,
     FailedCredentialVerificationError,
+    FailedPrimitivesError,
     FailedViewableMemoDecryptionError,
     InvalidAttributeError,
     InvalidParameterError,
@@ -144,11 +146,11 @@ class AssetCode:
 
     def verify_domestic(self, internal: InternalAssetCode) -> None:
         if AssetCode.new_domestic_from_internal(internal) != self:
-            raise InvalidParameterError("domestic asset code mismatch")
+            raise FailedAssetCodeVerificationError("domestic asset code mismatch")
 
     def verify_foreign(self, description: bytes) -> None:
         if AssetCode.new_foreign(description) != self:
-            raise InvalidParameterError("foreign asset code mismatch")
+            raise FailedAssetCodeVerificationError("foreign asset code mismatch")
 
     def is_native(self) -> bool:
         return self.value == NATIVE_ASSET_CODE
@@ -740,8 +742,14 @@ class ReceiverMemo:
         return ReceiverMemo(ct)
 
     def decrypt(self, keypair, comm: RecordCommitment, label: bytes = b"") -> RecordOpening:
-        """keypair: UserKeyPair; re-derives and checks the commitment."""
-        data = keypair.enc_keypair.decrypt(self.ct, label)
+        """keypair: UserKeyPair; re-derives and checks the commitment
+        (reference structs.rs:1619-1653: AEAD failure -> FailedPrimitives)."""
+        try:
+            data = keypair.enc_keypair.decrypt(self.ct, label)
+        except Exception as e:
+            raise FailedPrimitivesError(
+                "failed decryption, probably wrong keypair for the receiver memo"
+            ) from e
         ro = RecordOpening.from_bytes(data)
         if ro.derive_record_commitment() != comm.value:
             raise TxnApiError("receiver memo commitment mismatch")

@@ -378,25 +378,25 @@ class TestMintMutationHooks:
     def test_wrong_seed_breaks_domestic_binding(self):
         # the in-circuit PRF pins the internal code; the Keccak binding to
         # the public asset code is host-side verify_domestic (mint.rs:161-163)
-        from cap_tpu.errors import InvalidParameterError
+        from cap_tpu.errors import FailedAssetCodeVerificationError
         from cap_tpu.structs import InternalAssetCode
 
         rng = test_rng()
         b = MintParamsBuilder(rng, tree_depth=DEPTH)
         b.wrong_asset_code_seed()
         internal = InternalAssetCode.new(b.seed, b.description)
-        with pytest.raises(InvalidParameterError):
+        with pytest.raises(FailedAssetCodeVerificationError):
             b.asset_def.code.verify_domestic(internal)
 
     def test_wrong_description_breaks_domestic_binding(self):
-        from cap_tpu.errors import InvalidParameterError
+        from cap_tpu.errors import FailedAssetCodeVerificationError
         from cap_tpu.structs import InternalAssetCode
 
         rng = test_rng()
         b = MintParamsBuilder(rng, tree_depth=DEPTH)
         b.wrong_asset_description()
         internal = InternalAssetCode.new(b.seed, b.description)
-        with pytest.raises(InvalidParameterError):
+        with pytest.raises(FailedAssetCodeVerificationError):
             b.asset_def.code.verify_domestic(internal)
 
     def test_wrong_seed_unsat_against_original_publics(self):

@@ -4,7 +4,11 @@ import pytest
 
 from cap_tpu.constants import AMOUNT_MAX, ATTRS_LEN
 from cap_tpu.crypto.merkle import MerkleTree
-from cap_tpu.errors import InvalidParameterError, TxnApiError
+from cap_tpu.errors import (
+    FailedAssetCodeVerificationError,
+    InvalidParameterError,
+    TxnApiError,
+)
 from cap_tpu.fields.host import FR
 from cap_tpu.keys import (
     CredIssuerKeyPair,
@@ -54,13 +58,13 @@ class TestAssetCode:
         internal = InternalAssetCode.new(seed, b"Thing")
         code.verify_domestic(internal)
         bad = InternalAssetCode.new(seed, b"Other")
-        with pytest.raises(InvalidParameterError):
+        with pytest.raises(FailedAssetCodeVerificationError):
             code.verify_domestic(bad)
 
     def test_foreign(self):
         code = AssetCode.new_foreign(b"USD")
         code.verify_foreign(b"USD")
-        with pytest.raises(InvalidParameterError):
+        with pytest.raises(FailedAssetCodeVerificationError):
             code.verify_foreign(b"EUR")
 
     def test_reserved(self):
@@ -247,3 +251,59 @@ class TestFees:
         assert change.asset_def.is_native()
         with pytest.raises(InvalidParameterError):
             TxnFeeInfo.new(rng, fee_input, 101)
+
+
+class TestErrorSurface:
+    def test_all_reference_error_variants_exist(self):
+        """The full 17-variant TxnApiError surface (errors.rs:25-63)."""
+        from cap_tpu import errors as E
+
+        for name in [
+            "FailedPrimitivesError", "FailedSnarkError",
+            "FailedConstraintSystemError", "FailedAssetCodeVerificationError",
+            "FailedCredentialCreationError", "FailedCredentialVerificationError",
+            "FailedTransactionVerificationError", "FailedSerializationError",
+            "FailedReceiverMemoSignatureError", "FailedTxMemoSignatureError",
+            "FailedViewableMemoDecryptionError", "IoError",
+            "InvalidParameterError", "DeserializationError",
+            "IncorrectFeeError", "ParametersGenerationError", "InternalError",
+            "InvalidAttributeError",
+        ]:
+            cls = getattr(E, name)
+            assert issubclass(cls, E.TxnApiError)
+
+    def test_fee_overflow_is_incorrect_fee(self):
+        """calculate_fee wraps amount overflow as IncorrectFee (lib.rs:585)."""
+        import pytest
+
+        from cap_tpu.errors import IncorrectFeeError
+        from cap_tpu.lib import calculate_fee
+
+        class _FakeNote:
+            def __init__(self, fee):
+                self.aux_info = type("A", (), {"fee": fee})()
+
+        assert calculate_fee([_FakeNote(3), _FakeNote(4)]) == 7
+        with pytest.raises(IncorrectFeeError):
+            calculate_fee([_FakeNote(AMOUNT_MAX), _FakeNote(1)])
+
+    def test_receiver_memo_wrong_keypair_is_failed_primitives(self):
+        """Wrong-keypair AEAD decryption -> FailedPrimitives
+        (structs.rs:1630-1634)."""
+        import pytest
+
+        from cap_tpu.errors import FailedPrimitivesError
+        from cap_tpu.structs import AssetDefinition, ReceiverMemo, RecordOpening
+
+        rng = test_rng()
+        owner = UserKeyPair.generate(rng)
+        other = UserKeyPair.generate(rng)
+        ro = RecordOpening.new(rng, 5, AssetDefinition.native(), owner.pub_key())
+        memo = ReceiverMemo.from_ro(rng, ro)
+        comm = ro.derive_record_commitment()
+        from cap_tpu.structs import RecordCommitment
+
+        rc = RecordCommitment(comm)
+        assert memo.decrypt(owner, rc).amount == 5
+        with pytest.raises(FailedPrimitivesError):
+            memo.decrypt(other, rc)
