@@ -9,6 +9,16 @@ merges the serialized results.  ICI collectives stay *inside* a proof
 (parallel/mesh.py); DCN only ever carries whole work items, matching the
 scaling-book guidance to keep cross-host traffic off the hot path.
 
+Failure model (SURVEY.md §5 "failure detection / idempotent work units"):
+a worker is failed when its process exits nonzero, exceeds the shard
+timeout, or produces no parseable report.  Because every shard is
+idempotent and shared-nothing, recovery is re-execution: the pool
+relaunches the failed shard in a fresh process up to `retries` times —
+no partial state is carried over, so a retried shard cannot double-count
+or corrupt results.  `fail_at` injects a crash mid-shard for testing the
+detection + retry path (the analogue of the reference's witness-mutation
+fault injection, SURVEY.md §4.2).
+
 On a real deployment every worker process binds its own chip(s) via the
 standard JAX multi-process runtime and this module's pool is the per-host
 queue runner.  This image has one chip, so `simulate_host_pool` exercises
@@ -35,6 +45,7 @@ class HostResult:
     proofs: int
     seconds: float
     ok: bool
+    attempts: int = 1
 
 
 def _worker_main(args) -> None:
@@ -70,6 +81,9 @@ def _worker_main(args) -> None:
     t0 = time.time()
     ok = True
     for i in range(args.n):
+        if args.fail_at is not None and i == args.fail_at:
+            # fault injection: die mid-shard without a report
+            os._exit(17)
         # each queue item is an independent witness for the host's circuit
         ci = build(1000 * args.host + i + 7, args.rounds)
         pubs = ci.public_input()
@@ -80,44 +94,82 @@ def _worker_main(args) -> None:
         json.dump({"host": args.host, "proofs": args.n, "seconds": dt, "ok": ok}, f)
 
 
+def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
+                  rounds: int, fail_at) -> tuple[subprocess.Popen, str]:
+    out = os.path.join(td, f"host{host}_try{attempt}.json")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, "-m", "cap_tpu.parallel.hosts",
+        "--worker", "--host", str(host), "--n", str(proofs_per_host),
+        "--rounds", str(rounds), "--seed", f"host-pool-{host}",
+        "--out", out,
+    ]
+    if fail_at is not None:
+        cmd += ["--fail-at", str(fail_at)]
+    proc = subprocess.Popen(
+        cmd, cwd=_REPO, env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+    )
+    return proc, out
+
+
 def simulate_host_pool(
-    n_hosts: int, proofs_per_host: int, *, rounds: int = 40, timeout: float = 900.0
+    n_hosts: int, proofs_per_host: int, *, rounds: int = 40,
+    timeout: float = 900.0, retries: int = 0, inject_fail_at: dict | None = None,
 ) -> list[HostResult]:
     """Spawn `n_hosts` shared-nothing OS worker processes, each proving its
-    own queue shard, and collect per-host reports.  Raises on worker failure.
+    own queue shard, and collect per-host reports.
+
+    A shard whose worker dies (nonzero exit, timeout, or missing report) is
+    relaunched from scratch — proofs are idempotent work units — up to
+    `retries` extra attempts; exhausting them raises.  `inject_fail_at`
+    maps host -> item index at which attempt 0 crashes (fault injection;
+    later attempts run clean).
     """
+    inject_fail_at = inject_fail_at or {}
     with tempfile.TemporaryDirectory() as td:
-        procs = []
-        outs = []
-        for h in range(n_hosts):
-            out = os.path.join(td, f"host{h}.json")
-            outs.append(out)
-            env = dict(os.environ)
-            env["JAX_PLATFORMS"] = "cpu"
-            procs.append(
-                subprocess.Popen(
-                    [
-                        sys.executable, "-m", "cap_tpu.parallel.hosts",
-                        "--worker", "--host", str(h), "--n", str(proofs_per_host),
-                        "--rounds", str(rounds), "--seed", f"host-pool-{h}",
-                        "--out", out,
-                    ],
-                    cwd=_REPO, env=env,
-                    stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        pending = {h: 0 for h in range(n_hosts)}  # host -> attempt counter
+        results: dict[int, HostResult] = {}
+        while pending:
+            procs = {}
+            for h, attempt in pending.items():
+                fail_at = inject_fail_at.get(h) if attempt == 0 else None
+                procs[h] = _launch_shard(
+                    td, h, attempt, proofs_per_host, rounds, fail_at
                 )
-            )
-        results = []
-        for h, (p, out) in enumerate(zip(procs, outs)):
-            _, err = p.communicate(timeout=timeout)
-            if p.returncode != 0:
-                raise RuntimeError(
-                    f"host {h} worker failed (rc={p.returncode}): "
-                    f"{err.decode(errors='replace')[-2000:]}"
+            next_pending = {}
+            for h, (p, out) in procs.items():
+                attempt = pending[h]
+                failure = None
+                try:
+                    _, err = p.communicate(timeout=timeout)
+                    if p.returncode != 0:
+                        failure = f"rc={p.returncode}: " + err.decode(
+                            errors="replace"
+                        )[-2000:]
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.communicate()
+                    failure = f"timeout after {timeout}s"
+                if failure is None and not os.path.exists(out):
+                    failure = "worker exited 0 but wrote no report"
+                if failure is not None:
+                    if attempt >= retries:
+                        raise RuntimeError(
+                            f"host {h} shard failed after {attempt + 1} "
+                            f"attempt(s): {failure}"
+                        )
+                    next_pending[h] = attempt + 1
+                    continue
+                with open(out) as f:
+                    rep = json.load(f)
+                results[h] = HostResult(
+                    rep["host"], rep["proofs"], rep["seconds"], rep["ok"],
+                    attempts=attempt + 1,
                 )
-            with open(out) as f:
-                rep = json.load(f)
-            results.append(HostResult(rep["host"], rep["proofs"], rep["seconds"], rep["ok"]))
-        return results
+            pending = next_pending
+        return [results[h] for h in sorted(results)]
 
 
 def aggregate_proofs_per_s(results: list[HostResult]) -> float:
@@ -137,6 +189,7 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--rounds", type=int, default=40)
     ap.add_argument("--seed", type=str, default="host-pool")
+    ap.add_argument("--fail-at", type=int, default=None)
     ap.add_argument("--out", type=str, required=True)
     a = ap.parse_args()
     if not a.worker:
