@@ -29,7 +29,7 @@ _MASK = np.uint32(LIMB_MASK)
 _B16 = np.uint32(1 << LIMB_BITS)
 
 
-def mont_mul_cols(x, y, p_limbs, n0):
+def mont_mul_cols_cios(x, y, p_limbs, n0):
     """Flat CIOS Montgomery product on limb lists -> limb list in [0, 2p).
 
     x, y: lists of 16 uint32 arrays (values < 2p is fine).
@@ -101,6 +101,18 @@ def mont_mul_cols_sep(x, y, p_limbs, n0):
         c = v >> LIMB_BITS
     # top column vanishes: result < 2p < 2^256
     return out
+
+
+# Variant selection (import-time: kernels trace once per process).  The two
+# forms are op-count-identical but schedule differently on the VPU; the
+# default is chosen by measurement on the real chip (bench.py --mode field
+# compares them; see BASELINE.md).
+import os as _os
+
+if _os.environ.get("CAP_MONT", "cios") == "sep":
+    mont_mul_cols = mont_mul_cols_sep
+else:
+    mont_mul_cols = mont_mul_cols_cios
 
 
 def cond_sub_p(cols, p_limbs):

@@ -159,3 +159,43 @@ class TestJacobianHost:
         assert g1j_to_affine(g1j_add(g1j_from_affine(a), g1j_from_affine(b))) == g1_add(a, b)
         assert g1j_to_affine(g1j_double(g1j_from_affine(a))) == g1_add(a, a)
         assert g1j_to_affine(g1j_add(g1j_from_affine(a), (1, 1, 0))) == a
+
+
+class TestMontVariants:
+    """The CIOS and separated-product Montgomery forms must agree on the
+    full redundant input domain [0, 2p) (limb_kernels.py; the active form
+    is chosen at import by CAP_MONT)."""
+
+    def test_sep_equals_cios_on_redundant_domain(self):
+        import random
+
+        from cap_tpu.fields.host import LIMB_BITS, NLIMBS
+        from cap_tpu.ops import limb_kernels as lk
+
+        rng = random.Random(99)
+        for field in (FQ, FR):
+            p_limbs = [np.uint32((field.p >> (LIMB_BITS * i)) & 0xFFFF)
+                       for i in range(NLIMBS)]
+            n0 = np.uint32((-pow(field.p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+            vals = [0, 1, field.p - 1, field.p, 2 * field.p - 1]
+            vals += [rng.randrange(2 * field.p) for _ in range(40)]
+            xs = [rng.choice(vals) for _ in range(64)]
+            ys = [rng.choice(vals) for _ in range(64)]
+            to_cols = lambda ints: [
+                jnp.asarray(
+                    [(v >> (LIMB_BITS * i)) & 0xFFFF for v in ints], jnp.uint32
+                )
+                for i in range(NLIMBS)
+            ]
+            xc, yc = to_cols(xs), to_cols(ys)
+            a = lk.mont_mul_cols_cios(xc, yc, p_limbs, n0)
+            b = lk.mont_mul_cols_sep(xc, yc, p_limbs, n0)
+            rinv = pow(1 << (LIMB_BITS * NLIMBS), -1, field.p)
+            for cols in (a, b):
+                got = [
+                    sum(int(c[k]) << (LIMB_BITS * i) for i, c in enumerate(cols))
+                    for k in range(64)
+                ]
+                for k, g in enumerate(got):
+                    assert g < 2 * field.p
+                    assert g % field.p == xs[k] * ys[k] * rinv % field.p
