@@ -144,9 +144,9 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         pk, vk = mproof.preprocess(srs, depth)
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         b = MintParamsBuilder(rng, tree_depth=depth, with_viewer=True)
-        note, _ = b.build_mint_note(pk)
+        note, *_rest = b.build_mint_note(pk)
         b2 = MintParamsBuilder(rng, tree_depth=depth, with_viewer=True)
-        (note2, _), gen_s = _time_once(lambda: b2.build_mint_note(pk))
+        (note2, *_rest), gen_s = _time_once(lambda: b2.build_mint_note(pk))
         ok, ver_s = _time_once(lambda: note2.verify(vk, b2.tree.root))
         assert ok is not False
         nb = len(transaction_note_to_bytes(note2))
@@ -161,9 +161,9 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         pk, vk = fproof.preprocess(srs, n_in, depth)
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         b = FreezeParamsBuilder(rng, n_inputs=n_in, tree_depth=depth)
-        note, _ = b.build_freeze_note(pk)
+        note, *_rest = b.build_freeze_note(pk)
         b2 = FreezeParamsBuilder(rng, n_inputs=n_in, tree_depth=depth)
-        (note2, _), gen_s = _time_once(lambda: b2.build_freeze_note(pk))
+        (note2, *_rest), gen_s = _time_once(lambda: b2.build_freeze_note(pk))
         ok, ver_s = _time_once(lambda: note2.verify(vk, b2.tree.root))
         assert ok is not False
         nb = len(transaction_note_to_bytes(note2))

@@ -224,7 +224,15 @@ def g1_msm_pippenger(scalars, points, c: int = 8):
 
     ~(254/c) * (m + 2^(c+1)) Jacobian adds — the engine behind
     CAP_MSM=host, which lets small real proofs run in the CPU test suite
-    without the device MSM's table/compile overhead."""
+    without the device MSM's table/compile overhead.  Dispatches to the
+    threaded C++ Pippenger (native/cap_native.cpp) when available —
+    ~25x over the Python ladder at n=2^14 — with this Python form as the
+    fallback and ground truth."""
+    from cap_tpu.utils import native
+
+    r = native.g1_msm_pippenger(scalars, points)
+    if r is not NotImplemented:
+        return r
     windows = (254 + c - 1) // c
     mask = (1 << c) - 1
     acc = (1, 1, 0)

@@ -248,6 +248,14 @@ def setup_host(max_degree: int, rng, curve: HostCurve) -> HostSrs:
 
 def _commit(srs: HostSrs, coeffs: list[int]):
     c = srs.curve
+    if c.name == "bn254":
+        # threaded C++ bucket Pippenger (native/cap_native.cpp) — the other
+        # curves keep the generic ladder (no 4x64 field context for them)
+        from cap_tpu.utils import native
+
+        r = native.g1_msm_pippenger(coeffs, srs.g1_powers[: len(coeffs)])
+        if r is not NotImplemented:
+            return r
     acc = None
     for i, v in enumerate(coeffs):
         if v % c.fr.p:

@@ -130,6 +130,46 @@ def g1_mul(pt, scalar: int):
     return (x * zi2 % FQ.p, y * zi2 % FQ.p * zinv % FQ.p)
 
 
+def g1_msm_pippenger(scalars, points, c: int | None = None):
+    """Native threaded bucket-Pippenger MSM over affine host points.
+
+    Returns the affine result (None = infinity), or NotImplemented when the
+    shared library is unavailable.  Infinity points and zero scalars are
+    filtered host-side; window width defaults to ~log2(n)-3 (arkworks'
+    VariableBaseMSM heuristic)."""
+    if not HAVE_NATIVE:
+        return NotImplemented
+    pairs = [
+        (s % FR.p, pt)
+        for s, pt in zip(scalars, points)
+        if pt is not None and s % FR.p != 0
+    ]
+    n = len(pairs)
+    if n == 0:
+        return None
+    if c is None:
+        c = min(16, max(4, n.bit_length() - 3))
+    pts = (ctypes.c_uint64 * (12 * n))()
+    scs = (ctypes.c_uint64 * (4 * n))()
+    for i, (s, pt) in enumerate(pairs):
+        for idx, coord in enumerate((pt[0], pt[1], 1)):
+            m = coord * _R256_FQ % FQ.p
+            for k in range(4):
+                pts[12 * i + 4 * idx + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+        for k in range(4):
+            scs[4 * i + k] = (s >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    out = (ctypes.c_uint64 * 12)()
+    _lib.cap_g1_msm_pippenger(pts, scs, ctypes.c_int(n), ctypes.c_int(c), out)
+    x = _from_limbs64(out[0:4]) * _RINV_FQ % FQ.p
+    y = _from_limbs64(out[4:8]) * _RINV_FQ % FQ.p
+    z = _from_limbs64(out[8:12]) * _RINV_FQ % FQ.p
+    if z == 0:
+        return None
+    zinv = pow(z, -1, FQ.p)
+    zi2 = zinv * zinv % FQ.p
+    return (x * zi2 % FQ.p, y * zi2 % FQ.p * zinv % FQ.p)
+
+
 def _pack_fr_mont(vals, buf, off=0):
     for i, v in enumerate(vals):
         m = v * _R256_FR % FR.p

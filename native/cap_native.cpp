@@ -467,6 +467,72 @@ void cap_g1_msm(const u64* pts, const u64* scalars, int n, u64* out) {
     memcpy(out, &acc, sizeof(Jac));
 }
 
+}  // extern "C" (reopened below)
+
+// Bucket-Pippenger MSM (arkworks VariableBaseMSM role, host tier).  Window
+// sums are independent, so they run on worker threads; the caller-visible
+// cost is ~(254/c)*(n + 2^c)/nthreads Jacobian adds plus 254 doublings in
+// the final fold.  Powers the CPU-suite real proofs (CAP_MSM=host).
+#include <thread>
+#include <vector>
+
+static inline void jac_inf(Jac* p) { memset(p, 0, sizeof(Jac)); p->y[0] = 1; }
+
+static void pip_window_sum(const u64* pts, const u64* scalars, int n, int c,
+                           int w, Jac* out) {
+    const u64 mask = (c == 64) ? ~0ull : ((1ull << c) - 1);
+    const size_t nb = ((size_t)1 << c) - 1;
+    std::vector<Jac> buckets(nb);
+    for (size_t b = 0; b < nb; ++b) jac_inf(&buckets[b]);
+    const int bit = w * c;
+    const int limb = bit >> 6, sh = bit & 63;
+    for (int i = 0; i < n; ++i) {
+        const u64* s = scalars + 4 * i;
+        u64 d = s[limb] >> sh;
+        if (sh && limb < 3) d |= s[limb + 1] << (64 - sh);
+        d &= mask;
+        if (d) jac_add(&buckets[d - 1], (const Jac*)(pts + 12 * i), &buckets[d - 1]);
+    }
+    Jac running, winsum;
+    jac_inf(&running);
+    jac_inf(&winsum);
+    for (size_t d = nb; d >= 1; --d) {
+        jac_add(&running, &buckets[d - 1], &running);
+        jac_add(&winsum, &running, &winsum);
+    }
+    *out = winsum;
+}
+
+extern "C" {
+
+// pts: n x 12 u64 (Jacobian Montgomery; z=0 entries are skipped by d==0
+// digits only if their scalar is 0 — callers must pre-filter infinities).
+// scalars: n x 4 u64 plain LE < r.  out: 12 u64 Jacobian Montgomery.
+void cap_g1_msm_pippenger(const u64* pts, const u64* scalars, int n, int c,
+                          u64* out) {
+    const int windows = (254 + c - 1) / c;
+    std::vector<Jac> wsums(windows);
+    unsigned hw = std::thread::hardware_concurrency();
+    int nthreads = (int)(hw ? hw : 1);
+    if (nthreads > windows) nthreads = windows;
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nthreads; ++t) {
+        threads.emplace_back([&, t]() {
+            for (int w = t; w < windows; w += nthreads)
+                pip_window_sum(pts, scalars, n, c, w, &wsums[w]);
+        });
+    }
+    for (auto& th : threads) th.join();
+    Jac acc;
+    jac_inf(&acc);
+    for (int w = windows - 1; w >= 0; --w) {
+        if (!is_zero4(acc.z))
+            for (int k = 0; k < c; ++k) jac_double(&acc, &acc);
+        jac_add(&acc, &wsums[w], &acc);
+    }
+    memcpy(out, &acc, sizeof(Jac));
+}
+
 // ---------------------------------------------------------------------------
 // Witness-tape replayer
 //
