@@ -1,0 +1,50 @@
+"""Round-3 depth-26 reference grid run -> docs/grid_r3.csv.
+
+The reference criterion grid (src/bench_utils/mod.rs:40-42): transfer
+{2,3,4}x{2,5}, mint, freeze {2,3}, batch-verify {1,2,4}, tree depth 26,
+prove + verify per shape.  Run serially on the one real chip with the
+windowed MSM engine (its per-size window tables build in ~a minute vs the
+signed engine's ~15-minute ladders — the signed engine stays the headline
+single-shape default).
+
+Usage:  PYTHONHASHSEED=0 python scripts/run_grid_r3.py [max_domain_pow]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+os.environ.setdefault("CAP_MSM", "windowed")
+
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    t0 = time.time()
+
+    def progress(msg):
+        print(f"[{time.time()-t0:7.1f}s] {msg}", flush=True)
+
+    from cap_tpu.bench_utils import run_grid
+
+    out = run_grid(
+        out_path="docs/grid_r3.csv",
+        srs_degree=2**17 + 2,
+        progress=progress,
+    )
+    progress("grid complete; docs/grid_r3.csv written")
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
