@@ -79,6 +79,35 @@ def _time_once(fn):
     return out, time.time() - t0
 
 
+
+def _cached_keys(kind, preprocess_fn, store_args, load_args):
+    """Grid preprocess is a load on reruns (reference parameters.rs role:
+    regenerating keys per run is the single longest grid stage)."""
+    from cap_tpu import parameters as params
+
+    try:
+        pk = {
+            "transfer": params.load_transfer_proving_key,
+            "mint": params.load_mint_proving_key,
+            "freeze": params.load_freeze_proving_key,
+        }[kind](*load_args)
+        vk = params.load_verifying_key(kind, *store_args)
+        return pk, vk
+    except Exception:
+        pass
+    pk, vk = preprocess_fn()
+    try:
+        {
+            "transfer": params.store_transfer_proving_key,
+            "mint": params.store_mint_proving_key,
+            "freeze": params.store_freeze_proving_key,
+        }[kind](pk, *load_args, mode="full")
+        params.store_verifying_key(vk, kind, *store_args)
+    except Exception:
+        pass  # cache write failure is never fatal to the grid
+    return pk, vk
+
+
 def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
              depth: int = TREE_DEPTH,
              transfer_shapes=tuple((i, o) for i in NUM_INPUTS_RANGE
@@ -117,7 +146,10 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
 
     for (n_in, n_out) in transfer_shapes:
         progress(f"[grid] transfer {n_in}-in/{n_out}-out depth {depth}: preprocess")
-        pk, vk = tproof.preprocess(srs, n_in, n_out, depth)
+        pk, vk = _cached_keys(
+            "transfer", lambda: tproof.preprocess(srs, n_in, n_out, depth),
+            (n_in, n_out, depth), (n_in, n_out, depth),
+        )
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         mk = lambda: TransferParamsBuilder(
             rng, n_in, n_out, depth, non_native=True, with_viewer=True
@@ -141,7 +173,10 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
 
     if mint:
         progress(f"[grid] mint depth {depth}: preprocess")
-        pk, vk = mproof.preprocess(srs, depth)
+        pk, vk = _cached_keys(
+            "mint", lambda: mproof.preprocess(srs, depth),
+            (1, 2, depth), (depth,),
+        )
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         b = MintParamsBuilder(rng, tree_depth=depth, with_viewer=True)
         note, *_rest = b.build_mint_note(pk)
@@ -158,7 +193,10 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
 
     for n_in in freeze_inputs:
         progress(f"[grid] freeze {n_in}-in depth {depth}: preprocess")
-        pk, vk = fproof.preprocess(srs, n_in, depth)
+        pk, vk = _cached_keys(
+            "freeze", lambda: fproof.preprocess(srs, n_in, depth),
+            (n_in, n_in, depth), (n_in, depth),
+        )
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         b = FreezeParamsBuilder(rng, n_inputs=n_in, tree_depth=depth)
         note, *_rest = b.build_freeze_note(pk)
