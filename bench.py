@@ -299,9 +299,16 @@ def bench_throughput(reps: int):
     from cap_tpu.transfer import TransferNote
     from cap_tpu.utils.params_builder import TransferParamsBuilder
 
+    from cap_tpu import parameters as params
+
     depth = 6
+    _pick_msm_engine()
     srs = universal_setup_for_staging(2**15 + 2, "data")
-    pk, vk = tproof.preprocess(srs, 2, 2, depth)
+    try:
+        # stored full-mode key: same cold-start path as the headline mode
+        pk = params.load_transfer_proving_key(2, 2, depth)
+    except Exception:
+        pk, _vk = tproof.preprocess(srs, 2, 2, depth)
 
     def build_prepare(rng):
         b = TransferParamsBuilder(rng, 2, 2, depth, non_native=True,

@@ -94,10 +94,18 @@ class RealKeys:
             universal_setup_for_staging,
         )
 
+        from cap_tpu import parameters as params
+
         log("generating/loading staging SRS (2^15 + 2)...")
         srs = universal_setup_for_staging(2**15 + 2, "data")
         log("preprocess transfer 2x2...")
-        self.transfer_pk, self.transfer_vk = tproof.preprocess(srs, 2, 2, DEPTH)
+        try:
+            # stored full-mode key (data/*.npz): skips circuit synthesis
+            # and the 18-commitment batch, exactly like bench.py
+            self.transfer_pk = params.load_transfer_proving_key(2, 2, DEPTH)
+            self.transfer_vk = params.load_verifying_key("transfer", 2, 2, DEPTH)
+        except Exception:
+            self.transfer_pk, self.transfer_vk = tproof.preprocess(srs, 2, 2, DEPTH)
         log("preprocess mint...")
         self.mint_pk, self.mint_vk = mproof.preprocess(srs, DEPTH)
         log("preprocess freeze 2-in...")
