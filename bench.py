@@ -6,10 +6,12 @@ absolute numbers and Rust is unavailable in this image, so the baseline is
 an estimate documented below; `vs_baseline` = baseline_seconds / ours
 (>1 means faster than the baseline).
 
-Baseline estimate: jf-plonk TurboPlonk at domain 2^15 proves in ~2.0 s
-multi-threaded with asm on contemporary many-core x86 (derived from
-jellyfish's published bench ballpark; to be replaced by a measured number
-per BASELINE.md once a Rust host is available).
+Baseline estimate (BASELINE.md "Grounded Rust baseline estimate"): the
+reference prover's work inventory at domain 2^15 priced at arkworks-era
+CPU rates gives 0.9-1.8 s (mid 1.35 s) for multi-threaded asm Rust on a
+16-64 core x86.  `vs_baseline` uses the midpoint; `vs_baseline_range`
+carries both endpoints ([low/ours, high/ours], >1 = faster than that
+endpoint).  To be replaced by a measured number once a Rust host exists.
 
 Env knobs:
   CAP_BENCH=transfer|mint|freeze|msm|ntt|field   (default transfer)
@@ -60,9 +62,11 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-RUST_BASELINE_TRANSFER_S = 2.0
-RUST_BASELINE_MINT_S = 0.9     # domain 2^14 ~ half the transfer cost
-RUST_BASELINE_FREEZE_S = 0.9
+# derived range, BASELINE.md "Grounded Rust baseline estimate" (round 4)
+RUST_BASELINE_TRANSFER_RANGE = (0.9, 1.8)
+RUST_BASELINE_TRANSFER_S = 1.35          # midpoint
+RUST_BASELINE_MINT_S = 0.6               # domain 2^14 ~ half the transfer cost
+RUST_BASELINE_FREEZE_S = 0.6
 
 
 def _pick_msm_engine() -> None:
@@ -98,7 +102,9 @@ def bench_note(kind: str, reps: int):
     from cap_tpu import parameters as params
 
     rng = test_rng()
-    depth = 6
+    # reference bench shape: tree depth 26 (src/bench_utils/mod.rs:40-42);
+    # same 2^15 domain as depth 6 for 2-in/2-out, ~6.5k more gates
+    depth = 26
     _pick_msm_engine()
     _log(f"loading staging SRS (engine={os.environ.get('CAP_MSM', 'signed')})")
     srs = universal_setup_for_staging(2**15 + 2, "data")
@@ -149,12 +155,16 @@ def bench_note(kind: str, reps: int):
         gen(b)
         times.append(time.time() - t0)
     best = min(times) if times else warm
-    return {
+    out = {
         "metric": metric,
         "value": round(best, 3),
         "unit": "seconds",
         "vs_baseline": round(baseline / best, 3),
     }
+    if kind == "transfer":
+        lo, hi = RUST_BASELINE_TRANSFER_RANGE
+        out["vs_baseline_range"] = [round(lo / best, 3), round(hi / best, 3)]
+    return out
 
 
 def bench_field(reps: int):

@@ -3,17 +3,19 @@
 Mirrors `jf_primitives::elgamal` (SURVEY.md §2.2; reference usage:
 viewing memos src/structs.rs:1268-1415, viewer keys src/keys.rs:338-451).
 
-Scheme (message = list of Fr scalars, length public):
+Scheme per the reference's specification PDF (§4.1.6 Algorithm 6, §4.1.7
+Algorithm 7; message = list of Fr scalars, length public):
   keypair: sk in [1, l), pk = sk*G
-  encrypt(pk, r, msg): ephemeral = r*G, shared = r*pk
-      stream state S = Perm([shared.x, shared.y, 0, 0]);
-      key-stream = squeeze rate-3 blocks (permute between blocks)
+  encrypt(pk, r, msg): ephemeral = r*G, shared U = r*pk
+      symmetric key k = RescuePermutation([U.x, U.y, 0, 0])  (full 4-elem
+      state); key-stream block i = RescuePRP_k([i, 0, 0, 0]) — the KEYED
+      Rescue PRP in counter mode, blocks of the full state width 4;
       ct_i = msg_i + stream_i
   ciphertext = (ephemeral, [ct_i])
   decrypt(sk, ct): shared = sk*ephemeral, same stream, msg_i = ct_i - stream_i
 
-The circuit gadget (cap_tpu.circuits) re-computes exactly this function, so
-any change here must be mirrored there.
+The circuit gadget (cap_tpu.plonk.gadgets.elgamal) re-computes exactly this
+function, so any change here must be mirrored there.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from cap_tpu.crypto.jubjub import GENERATOR, TEPoint, rand_scalar
-from cap_tpu.crypto.rescue import RATE, RescuePermutation
+from cap_tpu.crypto.rescue import RescuePermutation, apply_key_stream
 from cap_tpu.fields.host import FR
 
 _perm = RescuePermutation(FR)
@@ -42,14 +44,12 @@ class ElGamalCiphertext:
         return ElGamalCiphertext(TEPoint(scalars[0], scalars[1]), tuple(scalars[2:]))
 
 
-def keystream(shared: TEPoint, n: int) -> list[int]:
-    state = _perm.permute([shared.x, shared.y, 0, 0])
-    out = []
-    while len(out) < n:
-        out.extend(state[:RATE])
-        if len(out) < n:
-            state = _perm.permute(state)
-    return out[:n]
+def stream_cipher(shared: TEPoint, data, is_add: bool) -> list[int]:
+    """Counter-mode Rescue cipher keyed by the permuted DH point (spec
+    §4.1.6-4.1.7): k = Perm([x, y, 0, 0]), block i offset by
+    RescuePRP_k([i, 0, 0, 0])."""
+    key4 = _perm.permute([shared.x, shared.y, 0, 0])
+    return apply_key_stream(FR, key4, list(data), is_add)
 
 
 @dataclass(frozen=True)
@@ -59,8 +59,7 @@ class ElGamalEncKey:
     def deterministic_encrypt(self, randomizer: int, msg: list[int]) -> ElGamalCiphertext:
         eph = GENERATOR.mul_scalar(randomizer)
         shared = self.pk.mul_scalar(randomizer)
-        stream = keystream(shared, len(msg))
-        cts = tuple((m + s) % FR.p for m, s in zip(msg, stream))
+        cts = tuple(stream_cipher(shared, msg, True))
         return ElGamalCiphertext(eph, cts)
 
     def encrypt(self, rng, msg: list[int]) -> ElGamalCiphertext:
@@ -82,5 +81,4 @@ class ElGamalKeyPair:
 
     def decrypt(self, ct: ElGamalCiphertext) -> list[int]:
         shared = ct.ephemeral.mul_scalar(self.sk)
-        stream = keystream(shared, len(ct.symm_ctxts))
-        return [(c - s) % FR.p for c, s in zip(ct.symm_ctxts, stream)]
+        return stream_cipher(shared, list(ct.symm_ctxts), False)

@@ -2,12 +2,14 @@
 
 Mirrors `jf_primitives::merkle_tree` (SURVEY.md §2.2; reference usage:
 src/structs.rs AccMemberWitness, benches depth 26 ~ 2.5e12 leaves —
-src/bench_utils/mod.rs:42).  Spec:
+src/bench_utils/mod.rs:42).  Node values per the reference's specification
+PDF §4.1.8 (domain separation of leaf / internal / empty nodes):
 
-  leaf value       = hash_3_to_1(uid, elem, 0)
-  internal node    = hash_3_to_1(child0, child1, child2)
-  empty leaf       = 0;  empty internal at level k = H(e_{k-1}, e_{k-1}, e_{k-1})
-  position         = uid decomposed base-3, least-significant digit at leaf level
+  leaf value       = H(0, uid, elem)      (the 0 marks "leaf")
+  internal node    = H(child0, child1, child2), child0 != 0 under left-fill
+  empty node       = 0 at EVERY level (an all-empty subtree is never hashed)
+  position         = uid decomposed base-3 (spec decompBase3),
+                     least-significant digit at leaf level
 
 The tree is sparse (dict-backed): only nodes on inserted paths are stored,
 so depth-26 trees cost O(depth) per insertion.  The circuit twin is
@@ -17,7 +19,6 @@ so depth-26 trees cost O(depth) per insertion.  The circuit twin is
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
 
 from cap_tpu.crypto.rescue import RescuePermutation
 from cap_tpu.fields.host import FR
@@ -30,16 +31,14 @@ def _h3(a: int, b: int, c: int) -> int:
 
 
 def leaf_hash(uid: int, elem: int) -> int:
-    return _h3(uid % FR.p, elem % FR.p, 0)
+    """Leaf value H(0, uid, elem) — spec §4.1.8 domain separation."""
+    return _h3(0, uid % FR.p, elem % FR.p)
 
 
-@lru_cache(maxsize=64)
 def empty_node_value(level: int) -> int:
-    """Value of an all-empty subtree whose root sits `level` levels above leaves."""
-    if level == 0:
-        return 0
-    e = empty_node_value(level - 1)
-    return _h3(e, e, e)
+    """Value of an all-empty subtree: 0 at every level (spec §4.1.8:
+    "Empty node value: 0" — empty subtrees are never hashed)."""
+    return 0
 
 
 @dataclass(frozen=True)

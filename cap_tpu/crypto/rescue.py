@@ -1,23 +1,34 @@
-"""Rescue permutation, sponge, PRF and commitment over a prime field.
+"""Rescue PRP, fixed-key permutation, sponge, PRF, commitment and
+counter-mode cipher over a prime field.
 
 Mirrors the consumed `jf-primitives::rescue` surface (SURVEY.md §2.2;
-reference usage: src/structs.rs:91,1035-1053, src/keys.rs:558-597).  Instance:
-state width 4, rate 3, capacity 1, S-box x^5 / x^(1/5), 12 rounds with 25
-round-key injections, MDS mixing each half-round — the same *shape* as the
-jellyfish BN254 instance.
+reference usage: src/structs.rs:91,1035-1053, src/keys.rs:558-597) with the
+construction pinned by the reference's own specification PDF
+(`/root/reference/cap-specification.pdf`, release 2022-03-04, spec §4.1.3
+listing 1.1 and Algorithms 2-3):
 
-The MDS matrix and round constants are derived by the published
-**Rescue-Prime instantiation algorithms** (Szepieniec–Ashur–Dhooghe,
-ePrint 2020/1143 §2.3: `get_mds_matrix` = transpose of the right half of
-the reduced echelon form of the m x 2m Vandermonde matrix over the smallest
-primitive element; `get_round_constants` = SHAKE-256 over the ASCII seed
-string "Rescue-XLIX(p,m,capacity,security_level)") rather than ad-hoc
-self-generation (VERDICT r2 item 5).  With K0 = 0 and forward-then-inverse
-S-box halves, `permute` below IS the Rescue-XLIX permutation of the spec.
-The whole stack (host hashing, circuit gadgets, native C++ kernel, device
-paths) keys off this module, so it stays self-consistent; dropping in a
-different constants table (e.g. jellyfish's exact tables, once vectors are
-available) is a data-only change via CAP_RESCUE_TABLE.
+  * instance `Rescue(security=128, q, m=4, alpha=5)`, nr = 12 rounds;
+  * the PRP is `RescueWithRoundKeys` (spec Alg 2): S <- m + k[0], then for
+    each of the 2*nr half-rounds, ALTERNATING S-boxes starting with the
+    INVERSE box — S <- S^(1/alpha) on even half-rounds, S <- S^alpha on odd
+    ones — each followed by `LinearOp(MDS, S, k[i])`;
+  * round keys come from `KeyScheduling(k)` (spec Alg 2): the key vector is
+    itself run through the same alternating-S-box/MDS schedule, with the
+    *key-injection* vectors keyinj[0..2nr] (keyinj[0] = IC,
+    keyinj[i+1] = K*keyinj[i] + C) added each half-round;
+  * the fixed-key permutation used by all hashes is the PRP with key 0
+    (spec Alg 3), i.e. round keys = KeyScheduling(0).
+
+The spec pins the *generation* of (MDS, IC, K, C) to the KU Leuven
+Marvellous `instance_generator.sage` at revision 1bad94a239dd52f7206cd7f2d
+3a7f023e006f533 (spec §4.1.3 listing 1.1) — that script is unreachable in
+this environment (zero egress), so the concrete constants below are derived
+by a documented deterministic procedure (Vandermonde-echelon MDS over the
+smallest primitive element; SHAKE-256 sampling for IC/K/C) and are the ONE
+remaining non-parity seam: dropping in the generator's exact tables is a
+data-only change via CAP_RESCUE_TABLE (see `load_params_table`).  Every
+consumer (host hashing, circuit gadgets, native C++ kernel) keys off this
+module, so the stack stays self-consistent either way.
 """
 
 from __future__ import annotations
@@ -31,12 +42,12 @@ from cap_tpu.fields.host import FR, PrimeField
 STATE_WIDTH = 4
 RATE = 3
 CAPACITY = 1
-ROUNDS = 12          # jellyfish's BN254 instance count; >= the spec minimum
+ROUNDS = 12          # spec §4.1.3: "We set the number of rounds nr = 12"
 ALPHA = 5
 SECURITY_LEVEL = 128
 
 # Factorization of r-1 for BN254 Fr (verified at import: product and
-# primality), needed to find the smallest primitive element per the spec.
+# primality), needed to find the smallest primitive element.
 _PMINUS1_FACTORS = {
     # bn254 Fr
     21888242871839275222246405745257275088548364400416034343698204186575808495617: (
@@ -72,7 +83,7 @@ def _is_prime(x: int) -> bool:
 
 def _smallest_primitive_root(p: int) -> int | None:
     """Smallest primitive element of GF(p), or None when p-1's factorization
-    is not on record (spec step 1 of `get_mds_matrix`)."""
+    is not on record."""
     factors = _PMINUS1_FACTORS.get(p)
     if factors is None:
         return None
@@ -89,11 +100,12 @@ def _smallest_primitive_root(p: int) -> int | None:
     return g
 
 
-def _rescue_prime_mds(p: int, m: int, g: int) -> tuple:
-    """`get_mds_matrix(p, m)` per ePrint 2020/1143: reduced echelon form of
-    the m x 2m matrix V[i][j] = g^(i*j); MDS = transpose of the right half."""
+def _vandermonde_mds(p: int, m: int, g: int) -> tuple:
+    """MDS matrix as the transpose of the right half of the reduced echelon
+    form of the m x 2m Vandermonde matrix V[i][j] = g^(i*j) — the published
+    Marvellous/Rescue-Prime construction shape (constants seam, see module
+    docstring)."""
     V = [[pow(g, i * j, p) for j in range(2 * m)] for i in range(m)]
-    # Gauss-Jordan to reduced row echelon form over GF(p)
     row = 0
     for col in range(2 * m):
         if row == m:
@@ -109,76 +121,74 @@ def _rescue_prime_mds(p: int, m: int, g: int) -> tuple:
                 f = V[r][col]
                 V[r] = [(V[r][j] - f * V[row][j]) % p for j in range(2 * m)]
         row += 1
-    # transpose of the right half
     return tuple(tuple(V[i][m + j] for i in range(m)) for j in range(m))
 
 
-def _rescue_prime_round_constants(
-    p: int, m: int, capacity: int, security_level: int, n_rounds: int
-) -> list[int]:
-    """`get_round_constants` per ePrint 2020/1143: SHAKE-256 of the ASCII
-    seed string, bytes_per_int = ceil(bitlen(p)/8)+1, little-endian mod p."""
+def _sample_field_elements(p: int, label: str, count: int) -> list[int]:
+    """Deterministic field elements: SHAKE-256 over a Marvellous-style seed
+    string, (bytelen(p)+1)-byte little-endian draws reduced mod p."""
     bpi = (p.bit_length() + 7) // 8 + 1
-    num = 2 * m * n_rounds
-    seed = f"Rescue-XLIX({p},{m},{capacity},{security_level})"
-    stream = hashlib.shake_256(seed.encode("ascii")).digest(bpi * num)
+    seed = f"Rescue({SECURITY_LEVEL},{p},{STATE_WIDTH},{ALPHA})/{label}"
+    stream = hashlib.shake_256(seed.encode("ascii")).digest(bpi * count)
     return [
         int.from_bytes(stream[i * bpi : (i + 1) * bpi], "little") % p
-        for i in range(num)
+        for i in range(count)
     ]
-
-
-def _rescue_prime_min_rounds(p: int, m: int, capacity: int,
-                             security_level: int, alpha: int) -> int:
-    """`get_number_of_rounds` per ePrint 2020/1143 (Groebner-basis bound
-    with the 1.5x safety margin)."""
-    from math import comb, ceil
-
-    rate = m - capacity
-    target = 1 << security_level
-    l1 = 25
-    for N in range(1, 26):
-        v = m * (N - 1) + rate
-        dcon = ((alpha - 1) * m * (N - 1)) // 2 + 2
-        if comb(v + dcon, v) ** 2 > target:
-            l1 = N
-            break
-    return ceil(1.5 * max(5, l1))
 
 
 @dataclass(frozen=True)
 class RescueParams:
     field: PrimeField
     alpha: int
-    alpha_inv: int  # inverse of alpha mod p-1  (exponent for the inverse S-box)
-    mds: tuple            # 4x4 matrix, row-major tuples
-    round_keys: tuple     # 25 tuples of width 4 (K0 .. K24)
+    alpha_inv: int        # inverse of alpha mod p-1 (inverse-S-box exponent)
+    mds: tuple            # w x w matrix, row-major tuples
+    key_inj: tuple        # 2*ROUNDS+1 width-w key-injection vectors (IC first)
+    round_keys: tuple     # KeyScheduling(0): 2*ROUNDS+1 width-w vectors
 
 
-def _expand_field_elements(field: PrimeField, label: bytes, count: int) -> list[int]:
-    """Deterministic uniform field elements via SHAKE-256 rejection sampling."""
-    out = []
-    ctr = 0
-    while len(out) < count:
-        h = hashlib.shake_256()
-        h.update(b"cap-tpu/rescue-v1")
-        h.update(label)
-        h.update(ctr.to_bytes(8, "little"))
-        v = int.from_bytes(h.digest(48), "little") % field.p
-        out.append(v)
-        ctr += 1
-    return out
+def _linear_op(p: int, M: tuple, v, c):
+    """spec Alg 2 LinearOp: M*v + c."""
+    return tuple(
+        (sum(M[i][j] * v[j] for j in range(STATE_WIDTH)) + c[i]) % p
+        for i in range(STATE_WIDTH)
+    )
+
+
+def _key_injection(p: int, ic, K, C) -> tuple:
+    """spec Alg 2 KeyInjection: keyinj[0] = IC, keyinj[i+1] = K*keyinj[i]+C."""
+    inj = [tuple(ic)]
+    for _ in range(2 * ROUNDS):
+        inj.append(_linear_op(p, K, inj[-1], C))
+    return tuple(inj)
+
+
+def key_scheduling(params: "RescueParams", key) -> tuple:
+    """spec Alg 2 KeyScheduling(k) -> 2*nr+1 round-key vectors.
+
+    The key vector is run through the alternating S-box / MDS schedule with
+    the key-injection vectors added: even half-rounds raise to 1/alpha, odd
+    ones to alpha (the same alternation the permutation itself uses)."""
+    p = params.field.p
+    prev = tuple((key[i] + params.key_inj[0][i]) % p for i in range(STATE_WIDTH))
+    keys = [prev]
+    for i in range(2 * ROUNDS):
+        e = params.alpha_inv if i % 2 == 0 else params.alpha
+        prev = tuple(pow(x, e, p) for x in prev)
+        prev = _linear_op(p, params.mds, prev, params.key_inj[i + 1])
+        keys.append(prev)
+    return tuple(keys)
 
 
 def load_params_table(field: PrimeField, table: dict) -> RescueParams:
     """Build RescueParams from an external constants table (bit-parity
-    injection point, VERDICT round-1 item 5 / SURVEY §4.7).
+    injection point).
 
-    table: {"p": int-or-hex-str, "mds": 4x4, "round_keys": 25x4} — e.g.
-    jellyfish's published BN254 tables dumped to JSON.  Every consumer
-    (host permutation, circuit gadget, native C++ kernel, device batch
-    path) keys off rescue_params(), so pointing CAP_RESCUE_TABLE at such a
-    file swaps the whole stack's constants with no code change.
+    table: {"p": int-or-hex-str, "mds": 4x4, "round_keys": 25x4,
+    "key_inj": 25x4 (optional — needed only for the keyed PRP / counter-mode
+    cipher)} — e.g. the Marvellous generator's exact tables dumped to JSON.
+    Every consumer (host permutation, circuit gadget, native C++ kernel)
+    keys off rescue_params(), so pointing CAP_RESCUE_TABLE at such a file
+    swaps the whole stack's constants with no code change.
     """
     p = field.p
     tp = table.get("p")
@@ -192,8 +202,15 @@ def load_params_table(field: PrimeField, table: dict) -> RescueParams:
         raise ValueError("rescue table: mds must be 4x4")
     if len(rks) != 2 * ROUNDS + 1 or any(len(r) != STATE_WIDTH for r in rks):
         raise ValueError("rescue table: round_keys must be 25x4")
+    inj = table.get("key_inj")
+    if inj is not None:
+        inj = tuple(tuple(int(v) % p for v in row) for row in inj)
+        if len(inj) != 2 * ROUNDS + 1 or any(len(r) != STATE_WIDTH for r in inj):
+            raise ValueError("rescue table: key_inj must be 25x4")
+    else:
+        inj = rks  # keyed-PRP path unavailable without the real injections
     alpha = int(table.get("alpha", ALPHA))
-    return RescueParams(field, alpha, pow(alpha, -1, p - 1), mds, rks)
+    return RescueParams(field, alpha, pow(alpha, -1, p - 1), mds, inj, rks)
 
 
 @lru_cache(maxsize=None)
@@ -210,35 +227,25 @@ def rescue_params(field: PrimeField = FR) -> RescueParams:
     alpha_inv = pow(ALPHA, -1, p - 1)
     g = _smallest_primitive_root(p)
     if g is not None:
-        # Rescue-Prime spec instantiation (ePrint 2020/1143).  ROUNDS=12 is
-        # jellyfish's instance count; assert it clears the spec's own bound.
-        assert ROUNDS >= _rescue_prime_min_rounds(
-            p, STATE_WIDTH, CAPACITY, SECURITY_LEVEL, ALPHA
-        ), "ROUNDS below the Rescue-Prime minimum"
-        mds = _rescue_prime_mds(p, STATE_WIDTH, g)
-        flat = _rescue_prime_round_constants(
-            p, STATE_WIDTH, CAPACITY, SECURITY_LEVEL, ROUNDS
+        mds = _vandermonde_mds(p, STATE_WIDTH, g)
+    else:
+        # fields without a recorded p-1 factorization: Cauchy-matrix MDS
+        xs = list(range(STATE_WIDTH))
+        ys = list(range(STATE_WIDTH, 2 * STATE_WIDTH))
+        mds = tuple(
+            tuple(field.inv(xs[i] + ys[j]) for j in range(STATE_WIDTH))
+            for i in range(STATE_WIDTH)
         )
-        # K0 = 0 + the spec's 2*m*N injected constants = Rescue-XLIX exactly
-        round_keys = ((0,) * STATE_WIDTH,) + tuple(
-            tuple(flat[r * STATE_WIDTH : (r + 1) * STATE_WIDTH])
-            for r in range(2 * ROUNDS)
-        )
-        return RescueParams(field, ALPHA, alpha_inv, mds, round_keys)
-    # fields without a recorded p-1 factorization: legacy v1 scheme
-    # (SHAKE-256 expansion; Cauchy-matrix MDS) — self-consistent, documented
-    xs = list(range(STATE_WIDTH))
-    ys = list(range(STATE_WIDTH, 2 * STATE_WIDTH))
-    mds = tuple(
-        tuple(field.inv(xs[i] + ys[j]) for j in range(STATE_WIDTH))
-        for i in range(STATE_WIDTH)
-    )
-    flat = _expand_field_elements(field, b"round-keys", (2 * ROUNDS + 1) * STATE_WIDTH)
-    round_keys = tuple(
-        tuple(flat[r * STATE_WIDTH : (r + 1) * STATE_WIDTH])
-        for r in range(2 * ROUNDS + 1)
-    )
-    return RescueParams(field, ALPHA, alpha_inv, mds, round_keys)
+    # IC, K, C per spec Alg 2 (sampling = the documented constants seam)
+    ic = tuple(_sample_field_elements(p, "IC", STATE_WIDTH))
+    kf = _sample_field_elements(p, "K", STATE_WIDTH * STATE_WIDTH)
+    K = tuple(tuple(kf[i * STATE_WIDTH : (i + 1) * STATE_WIDTH]) for i in range(STATE_WIDTH))
+    C = tuple(_sample_field_elements(p, "C", STATE_WIDTH))
+    inj = _key_injection(p, ic, K, C)
+    params = RescueParams(field, ALPHA, alpha_inv, mds, inj, ())
+    # fixed-key round keys = KeyScheduling(0) (spec Alg 3)
+    rks = key_scheduling(params, (0,) * STATE_WIDTH)
+    return RescueParams(field, ALPHA, alpha_inv, mds, inj, rks)
 
 
 def _native_permute(state):
@@ -259,50 +266,49 @@ def _native_permute(state):
 _native_fn = None
 
 
+def permute_with_round_keys(params: RescueParams, state, round_keys):
+    """spec Alg 2 RescueWithRoundKeys: S <- m + k[0]; then per half-round i
+    (1-based): S^(1/alpha) when (i-1) is even else S^alpha, then MDS*S+k[i]."""
+    p = params.field.p
+    s = [(state[i] + round_keys[0][i]) % p for i in range(STATE_WIDTH)]
+    for i in range(1, 2 * ROUNDS + 1):
+        e = params.alpha_inv if (i - 1) % 2 == 0 else params.alpha
+        s = [pow(x, e, p) for x in s]
+        s = list(_linear_op(p, params.mds, s, round_keys[i]))
+    return s
+
+
 class RescuePermutation:
-    """Width-4 Rescue permutation plus the derived symmetric primitives."""
+    """Width-4 fixed-key Rescue permutation plus the derived primitives."""
 
     def __init__(self, field: PrimeField = FR):
         self.field = field
         self.params = rescue_params(field)
 
     # -- core permutation ---------------------------------------------------
-    def _mds_mul(self, state, key):
-        f = self.field
-        m = self.params.mds
-        return [
-            (sum(m[i][j] * state[j] for j in range(STATE_WIDTH)) + key[i]) % f.p
-            for i in range(STATE_WIDTH)
-        ]
-
     def permute(self, state):
-        """One full permutation of a 4-element state (list of ints)."""
+        """One full fixed-key permutation of a 4-element state (spec Alg 3)."""
         f = self.field
-        pr = self.params
         assert len(state) == STATE_WIDTH
         if f.name == "bn254::Fr":
             native = _native_permute(state)
             if native is not None:
                 return native
-        s = [(state[i] + pr.round_keys[0][i]) % f.p for i in range(STATE_WIDTH)]
-        for r in range(ROUNDS):
-            s = self._mds_mul([pow(x, pr.alpha, f.p) for x in s], pr.round_keys[2 * r + 1])
-            s = self._mds_mul([pow(x, pr.alpha_inv, f.p) for x in s], pr.round_keys[2 * r + 2])
-        return s
+        return permute_with_round_keys(self.params, state, self.params.round_keys)
 
-    # -- sponge -------------------------------------------------------------
+    # -- sponge (spec §4.1.4, Algorithm 4) ------------------------------------
     def sponge_no_padding(self, inputs, num_outputs: int = 1):
         assert len(inputs) % RATE == 0, "no-padding sponge needs multiple of rate"
-        return self._sponge(inputs, num_outputs, iv=0)
+        return self._sponge(inputs, num_outputs)
 
     def sponge_with_padding(self, inputs, num_outputs: int = 1):
         padded = list(inputs) + [1]
         padded += [0] * ((-len(padded)) % RATE)
-        return self._sponge(padded, num_outputs, iv=0)
+        return self._sponge(padded, num_outputs)
 
-    def _sponge(self, inputs, num_outputs: int, iv: int):
+    def _sponge(self, inputs, num_outputs: int):
         f = self.field
-        state = [0, 0, 0, iv % f.p]
+        state = [0, 0, 0, 0]
         for off in range(0, len(inputs), RATE):
             for i, v in enumerate(inputs[off : off + RATE]):
                 state[i] = (state[i] + v) % f.p
@@ -320,11 +326,13 @@ class RescuePermutation:
 
 
 class RescuePRF:
-    """Rescue-based PRF — `jf_primitives::prf::PRF` twin (src/keys.rs:589-596).
+    """Full-State Keyed Sponge PRF — `jf_primitives::prf::PRF` twin
+    (reference src/keys.rs:589-596; spec §4.1.5 Algorithm 5).
 
-    Spec: state = [0, 0, 0, key]; absorb inputs zero-padded to a multiple of
-    the rate; squeeze `out_len` elements.  The input length is fixed per use
-    site (uid/commitment pairs, asset-code digests), so zero-padding is safe.
+    Spec: state = [0, 0, 0, key]; the input is zero-padded to a multiple of
+    the FULL state width w = 4 and absorbed in chunks of w (full-state
+    absorption, not rate-limited); output = state[0] (squeeze rate-wise for
+    longer outputs, spec §4.1.5 footnote 7).
     """
 
     def __init__(self, input_len: int, output_len: int, field: PrimeField = FR):
@@ -336,10 +344,10 @@ class RescuePRF:
     def eval(self, key: int, inputs) -> list[int]:
         assert len(inputs) == self.input_len
         f = self.field
-        padded = list(inputs) + [0] * ((-len(inputs)) % RATE)
+        padded = list(inputs) + [0] * ((-len(inputs)) % STATE_WIDTH)
         state = [0, 0, 0, key % f.p]
-        for off in range(0, len(padded), RATE):
-            for i, v in enumerate(padded[off : off + RATE]):
+        for off in range(0, len(padded), STATE_WIDTH):
+            for i, v in enumerate(padded[off : off + STATE_WIDTH]):
                 state[i] = (state[i] + v) % f.p
             state = self.perm.permute(state)
         out = []
@@ -353,10 +361,11 @@ class RescuePRF:
 class RescueCommitment:
     """Rescue sponge commitment — `jf_primitives::commitment` twin.
 
-    Spec (self-defined, mirrored by the circuit gadget): initial state
-    [0,0,0, input_len + 1] (length-domain-separation in the capacity), absorb
-    [blind, inputs...] zero-padded to a multiple of the rate, squeeze 1.
-    Used for record commitments (reference src/structs.rs:1035-1053).
+    Spec §4.2.5: Com(m, blind) := sponge(blind ‖ m) — the PLAIN zero-IV
+    sponge CRHF over [blind, inputs...] zero-padded to a multiple of the
+    rate (the spec's record instance is 12 inputs = 4 permutations; the
+    reference adds reveal_threshold for 13 -> padded 15).  Used for record
+    commitments (reference src/structs.rs:1035-1053).
     """
 
     def __init__(self, input_len: int, field: PrimeField = FR):
@@ -369,9 +378,31 @@ class RescueCommitment:
         f = self.field
         msg = [blind % f.p] + [v % f.p for v in inputs]
         msg += [0] * ((-len(msg)) % RATE)
-        state = [0, 0, 0, (self.input_len + 1) % f.p]
-        for off in range(0, len(msg), RATE):
-            for i, v in enumerate(msg[off : off + RATE]):
-                state[i] = (state[i] + v) % f.p
-            state = self.perm.permute(state)
-        return state[0]
+        return self.perm.sponge_no_padding(msg, 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# counter-mode cipher (spec §4.1.6, Algorithm 6) — the ElGamal key stream
+# ---------------------------------------------------------------------------
+
+
+def apply_key_stream(field: PrimeField, key4, data, is_add: bool) -> list[int]:
+    """spec Alg 6 ApplyKeyStream: round keys = KeyScheduling(key4); block i
+    of StateSize elements is offset by RescueWithRoundKeys([i,0,0,0], rks)
+    (added when encrypting, subtracted when decrypting; a trailing partial
+    block uses the stream prefix)."""
+    params = rescue_params(field)
+    rks = key_scheduling(params, tuple(v % field.p for v in key4))
+    p = field.p
+    out = []
+    for blk in range(0, len(data), STATE_WIDTH):
+        block = data[blk : blk + STATE_WIDTH]
+        nonce = blk // STATE_WIDTH
+        stream = permute_with_round_keys(
+            params, [nonce, 0, 0, 0], rks
+        )[: len(block)]
+        if is_add:
+            out.extend((d + s) % p for d, s in zip(block, stream))
+        else:
+            out.extend((d - s) % p for d, s in zip(block, stream))
+    return out

@@ -11,9 +11,14 @@ from dataclasses import dataclass
 
 from cap_tpu.crypto.elgamal import ElGamalCiphertext
 from cap_tpu.crypto.jubjub import GENERATOR
+from cap_tpu.crypto.rescue import STATE_WIDTH
 from cap_tpu.plonk.circuit import PlonkCircuit
 from cap_tpu.plonk.gadgets import ecc
-from cap_tpu.plonk.gadgets.rescue import rescue_permutation_gadget
+from cap_tpu.plonk.gadgets.rescue import (
+    key_scheduling_gadget,
+    prp_with_round_key_vars_gadget,
+    rescue_permutation_gadget,
+)
 
 
 @dataclass(frozen=True)
@@ -46,16 +51,18 @@ def elgamal_encrypt(
     bits = c.unpack(randomizer, 251)
     eph = ecc.scalar_mul_bits_fixed_base(c, bits, GENERATOR)
     shared = ecc.scalar_mul_bits_variable_base(c, bits, pk_var)
-    state = [shared.x, shared.y, c.zero, c.zero]
-    state = rescue_permutation_gadget(c, state)
+    # spec §4.1.6-4.1.7: symmetric key = Perm([x, y, 0, 0]) (full state),
+    # key stream block i = RescuePRP_key([i, 0, 0, 0]), blocks of width 4
+    key4 = rescue_permutation_gadget(c, [shared.x, shared.y, c.zero, c.zero])
+    rk_vars = key_scheduling_gadget(c, key4)
     cts = []
-    i = 0
-    while len(cts) < len(msg_vars):
-        for j in range(3):
-            if len(cts) < len(msg_vars):
-                cts.append(c.add(msg_vars[len(cts)], state[j]))
-        if len(cts) < len(msg_vars):
-            state = rescue_permutation_gadget(c, state)
+    for off in range(0, len(msg_vars), STATE_WIDTH):
+        block = msg_vars[off : off + STATE_WIDTH]
+        nonce = off // STATE_WIDTH
+        stream = prp_with_round_key_vars_gadget(
+            c, [nonce, 0, 0, 0], rk_vars
+        )
+        cts.extend(c.add(m, s) for m, s in zip(block, stream))
     return ElGamalHybridCtxtVars(eph, tuple(cts))
 
 

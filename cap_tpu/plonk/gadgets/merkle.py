@@ -1,9 +1,9 @@
 """In-circuit 3-ary Rescue Merkle root recomputation.
 
 Twin of `MerkleTreeGadget::compute_merkle_root` (SURVEY.md §2.2; reference
-usage: src/circuit/gadgets.rs:162-168).  MUST mirror cap_tpu.crypto.merkle:
-leaf = H3(uid, elem, 0); node = H3(child0, child1, child2); position = uid
-in base 3, least-significant digit at the leaf level.
+usage: src/circuit/gadgets.rs:162-168).  MUST mirror cap_tpu.crypto.merkle
+(spec §4.1.8): leaf = H3(0, uid, elem); node = H3(child0, child1, child2);
+position = uid in base 3, least-significant digit at the leaf level.
 
 Each level's branch digit d in {0,1,2} is encoded as two booleans
 (d = b0 + 2*b1 with b0*b1 = 0), and the three children are arranged with
@@ -65,7 +65,7 @@ def compute_merkle_root(
     c: PlonkCircuit, uid: int, elem: int, path
 ) -> int:
     """Returns the root variable recomputed from (uid, elem) along `path`."""
-    cur = rescue_hash_3_to_1_gadget(c, uid, elem, c.zero)
+    cur = rescue_hash_3_to_1_gadget(c, c.zero, uid, elem)
     for node in path:
         is0 = c.logic_and(c.logic_neg(node.b0), c.logic_neg(node.b1))
         # children arrangement by digit d:

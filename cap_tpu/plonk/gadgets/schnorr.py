@@ -2,10 +2,11 @@
 
 Twin of `SignatureGadget::check_signature_validity` (SURVEY.md §2.2;
 reference usage: src/circuit/structs.rs:424-429 credential verification).
-MUST mirror cap_tpu.crypto.schnorr: the challenge is the Rescue sponge over
-[CS_ID, R.x, R.y, vk.x, vk.y, msg..., zero-pad], and the verification
-equation is s*G == R + c*vk with the FULL (unreduced) Fr challenge as the
-vk scalar — both sides use it as an integer, so host and circuit agree.
+MUST mirror cap_tpu.crypto.schnorr (spec §4.1.2 Algorithm 1): the
+challenge is the PADDED Rescue sponge over [vk.x, vk.y, R.x, R.y, msg...],
+and the verification equation is s*G == R + c*vk with the FULL (unreduced)
+Fr challenge as the vk scalar — both sides use it as an integer, so host
+and circuit agree.
 """
 
 from __future__ import annotations
@@ -13,13 +14,10 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from cap_tpu.crypto.jubjub import GENERATOR
-from cap_tpu.crypto.schnorr import CS_ID_SCHNORR, SchnorrSignature
+from cap_tpu.crypto.schnorr import SchnorrSignature
 from cap_tpu.plonk.circuit import PlonkCircuit
 from cap_tpu.plonk.gadgets import ecc
-from cap_tpu.plonk.gadgets.rescue import (
-    _constant_var,
-    rescue_sponge_no_padding_gadget,
-)
+from cap_tpu.plonk.gadgets.rescue import rescue_sponge_no_padding_gadget
 
 
 @dataclass(frozen=True)
@@ -33,7 +31,9 @@ def create_signature_variable(c: PlonkCircuit, sig: SchnorrSignature) -> Signatu
 
 
 def challenge_gadget(c: PlonkCircuit, vk: ecc.PointVariable, sig_r: ecc.PointVariable, msg_vars) -> int:
-    inputs = [_constant_var(c, CS_ID_SCHNORR), sig_r.x, sig_r.y, vk.x, vk.y] + list(msg_vars)
+    """c = H(X, R, m) with the padded sponge (spec §4.1.2): append the
+    padding marker 1 then zero-fill to a rate multiple."""
+    inputs = [vk.x, vk.y, sig_r.x, sig_r.y] + list(msg_vars) + [c.one]
     inputs += [c.zero] * ((-len(inputs)) % 3)
     return rescue_sponge_no_padding_gadget(c, inputs, 1)[0]
 

@@ -238,15 +238,17 @@ static void mds_key(const u64 st[4][4], const u64 key[4][4], u64 out[4][4]) {
     }
 }
 
-// state: 4 elements x 4 limbs, Montgomery form, in-place
+// state: 4 elements x 4 limbs, Montgomery form, in-place.
+// Spec Alg 2 RescueWithRoundKeys order: INVERSE S-box first each round,
+// then MDS+key, then the forward box, then MDS+key.
 void cap_rescue_permute(u64* state_flat) {
     u64 st[4][4], t[4][4];
     memcpy(st, state_flat, sizeof(st));
     for (int i = 0; i < 4; ++i) f_add(g_fr, st[i], g_rk[0][i], st[i]);
     for (int r = 0; r < 12; ++r) {
-        for (int i = 0; i < 4; ++i) sbox5(st[i], t[i]);
-        mds_key(t, g_rk[2 * r + 1], st);
         for (int i = 0; i < 4; ++i) f_pow(g_fr, st[i], g_alpha_inv, t[i]);
+        mds_key(t, g_rk[2 * r + 1], st);
+        for (int i = 0; i < 4; ++i) sbox5(st[i], t[i]);
         mds_key(t, g_rk[2 * r + 2], st);
     }
     memcpy(state_flat, st, sizeof(st));
@@ -258,22 +260,23 @@ void cap_rescue_permute_many(u64* states, int n) {
 }
 
 // state: 4 elements x 4 limbs Montgomery; trace: 4 + 12*12 elements out —
-// layout [s_init(4)] + per round [t(4), u(4), s(4)] — exactly the witness
-// values the Rescue circuit gadget creates (plonk/gadgets/rescue.py).
+// layout [s_init(4)] + per round [u(4) inverse box, v(4) MDS+k1,
+// s(4) forward box fused with MDS+k2] — exactly the witness values the
+// Rescue circuit gadget creates (plonk/gadgets/rescue.py).
 void cap_rescue_trace(const u64* state_flat, u64* trace_out) {
-    u64 st[4][4], t[4][4], u[4][4];
+    u64 st[4][4], u[4][4], v[4][4];
     memcpy(st, state_flat, sizeof(st));
     int w = 0;
     for (int i = 0; i < 4; ++i) f_add(g_fr, st[i], g_rk[0][i], st[i]);
     for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, st[i], 32); ++w; }
     for (int r = 0; r < 12; ++r) {
-        u64 sb[4][4];
-        for (int i = 0; i < 4; ++i) sbox5(st[i], sb[i]);
-        mds_key(sb, g_rk[2 * r + 1], t);
-        for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, t[i], 32); ++w; }
-        for (int i = 0; i < 4; ++i) f_pow(g_fr, t[i], g_alpha_inv, u[i]);
+        for (int i = 0; i < 4; ++i) f_pow(g_fr, st[i], g_alpha_inv, u[i]);
         for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, u[i], 32); ++w; }
-        mds_key(u, g_rk[2 * r + 2], st);
+        mds_key(u, g_rk[2 * r + 1], v);
+        for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, v[i], 32); ++w; }
+        u64 sb[4][4];
+        for (int i = 0; i < 4; ++i) sbox5(v[i], sb[i]);
+        mds_key(sb, g_rk[2 * r + 2], st);
         for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, st[i], 32); ++w; }
     }
 }

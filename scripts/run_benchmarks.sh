@@ -13,13 +13,26 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 MODES=(transfer mint freeze batch_verify)
+MODE_FLAG=""
 for arg in "$@"; do
     case "$arg" in
         --windowed)     export CAP_MSM=windowed ;;
-        --multi_proof)  MODES=(throughput) ;;
-        --grid)         MODES=(grid) ;;
+        --multi_proof|--grid)
+            # mutually exclusive mode selectors (ADVICE r3): passing both
+            # would silently run only the last one
+            if [[ -n "$MODE_FLAG" ]]; then
+                echo "error: $MODE_FLAG and $arg are mutually exclusive" >&2
+                exit 1
+            fi
+            MODE_FLAG="$arg"
+            [[ "$arg" == --multi_proof ]] && MODES=(throughput) || MODES=(grid)
+            ;;
         -h|--help)
-            echo "usage: $0 [--windowed] [--multi_proof] [--grid]"; exit 0 ;;
+            echo "usage: $0 [--windowed] [--multi_proof | --grid]"
+            echo "  --windowed     use the windowed MSM engine in any mode"
+            echo "  --multi_proof  run ONLY the pipelined-throughput bench"
+            echo "  --grid         run ONLY the depth-26 criterion grid"
+            exit 0 ;;
         *) echo "unknown flag: $arg" >&2; exit 1 ;;
     esac
 done

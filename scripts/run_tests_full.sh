@@ -13,8 +13,10 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONHASHSEED=0
 
+# full sweep reports ALL failures (no -x — ADVICE r3: the reference's full
+# run reports the entire crate's results; fast-fail stays in run_tests.sh)
 echo "== default suite (bn254 + bls12_377 + bls12_381, CPU mesh) =="
-python -m pytest tests/ -x -q
+python -m pytest tests/ -q
 
 echo "== slow TPU-gated end-to-end suite =="
 if python - <<'EOF'

@@ -130,11 +130,14 @@ class TestRescue:
         c = comm.commit(list(range(12)), blind=99)
         assert c == comm.commit(list(range(12)), blind=99)
         assert c != comm.commit(list(range(12)), blind=98)
-        # length domain separation
-        comm3 = RescueCommitment(3, FR)
-        assert comm3.commit([1, 2, 3], 5) != RescueCommitment(4, FR).commit(
-            [1, 2, 3, 0], 5
-        )
+        # spec §4.2.5: Com(m, blind) is the PLAIN zero-IV sponge over
+        # [blind, m...] zero-padded to a rate multiple (fixed-length scheme,
+        # no length-IV domain separation)
+        from cap_tpu.crypto.rescue import RescuePermutation
+
+        perm = RescuePermutation(FR)
+        msg = [99] + list(range(12)) + [0, 0]
+        assert c == perm.sponge_no_padding(msg, 1)[0]
 
 
 class TestJubjub:

@@ -27,20 +27,23 @@ from cap_tpu.fields.host import FR
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# -- layer 1: regression pins (Rescue-Prime spec instantiation, r3) ----------
-# Constants derive from ePrint 2020/1143's published algorithms over BN254 Fr
-# (g=5 Vandermonde-echelon MDS; SHAKE-256 "Rescue-XLIX(p,4,1,128)" stream);
-# these pins freeze that derivation.
+# -- layer 1: regression pins (spec Alg 2-3 instantiation, r4) ---------------
+# The permutation structure follows the reference spec PDF §4.1.3 exactly
+# (inverse-alpha S-box first each round, round keys = KeyScheduling(0) over
+# the key-injection vectors); the CONSTANTS (MDS/IC/K/C sampling) remain the
+# documented seam (the Marvellous generator script is egress-blocked).
+# These pins freeze the current derivation.
 
 PERM_1234 = [
-    0x1A80776CB18B4D09EB48CB5AA065829315255E94772F35F1517C0C8BA2B932EE,
-    0x2D3AF0D8CC8B218739EB09E4C00CC4E95D0C6E56A2FE9B2732C5BD90C41498D2,
-    0x06EB9E25AAE9653DEC869043DDFEC90CBE3AE378C1BE18A22B26028C98B90308,
-    0x0A4757D7AF2734DC6ED8541FF32A5A25E816907B2CBC78B3EFFC3CC9CB50F6EB,
+    0x214E58C567808F9948E2F07B0630A5CB55F05B6E67C763D3916836D98E5D3EF6,
+    0x2CFE0AD937DBFAAC91FDEBEEF95953D3986415060FED9D3950309921626ABEAC,
+    0x1ABC21E70C5957A3E5881C2A32E2D9F97E535A21103D6F131F1DBC339506E3E4,
+    0x02186FE6614857671EC1051D4D6B78F514B99C109B1A4D71B474B55CF0340A62,
 ]
-SPONGE_567 = 0x21F96EDAB8E4A810656A185EC4EA722EAF0DBDD7BC549D89D9E642947F23836F
+SPONGE_567 = 0x00FC8CAA7D9CB93F33352603BC05C06C0DF12FAFB6BA606A31CBF079AFC96D0C
 MDS00 = 0x30644E72E131A029B85045B68181585D2833E84879B9709143E1F593EFFFC2F8
-RK10 = 0x2AD46A71F8C9CD1EFF6C3E31632D198F0C276557F028A0B411B05A2286A4AD52
+RK10 = 0x2A1DE07510519270B02383704DFECE5E8E0FC7FF1466DB9AA84800B685AA174B
+IC0 = 0x1947450AD436429BDE749AB7BB4BE062792D206CD766CA5BF874E108227786B0
 
 
 def test_rescue_regression_vectors():
@@ -49,7 +52,9 @@ def test_rescue_regression_vectors():
     assert rp.sponge_with_padding([5, 6, 7], 1)[0] == SPONGE_567
     pr = rescue_params(FR)
     assert pr.mds[0][0] == MDS00
-    assert pr.round_keys[0] == (0, 0, 0, 0)  # XLIX has no initial injection
+    # round keys = KeyScheduling(0): keys[0] = 0 + IC (spec Alg 2/3)
+    assert pr.round_keys[0] == pr.key_inj[0]
+    assert pr.key_inj[0][0] == IC0
     assert pr.round_keys[1][0] == RK10
 
 
@@ -74,8 +79,9 @@ def mdsk(s, k):
     return [(sum(mds[i][j] * s[j] for j in range(4)) + k[i]) % p for i in range(4)]
 s = [(v + rks[0][i]) % p for i, v in enumerate([9, 8, 7, 6])]
 for r in range(ROUNDS):
-    s = mdsk([pow(x, 5, p) for x in s], rks[2 * r + 1])
-    s = mdsk([pow(x, ai, p) for x in s], rks[2 * r + 2])
+    # spec Alg 2: inverse S-box first, then the forward box
+    s = mdsk([pow(x, ai, p) for x in s], rks[2 * r + 1])
+    s = mdsk([pow(x, 5, p) for x in s], rks[2 * r + 2])
 got = RescuePermutation(FR).permute([9, 8, 7, 6])
 assert got == s, "host permutation ignores injected constants"
 
