@@ -115,6 +115,44 @@ else:
     mont_mul_cols = mont_mul_cols_cios
 
 
+def mont_mul2_cols(a, b, c, d, p_limbs, p2_limbs, n0):
+    """Fused (a*b + c*d) with ONE Montgomery reduction -> [0, 2p).
+
+    Both schoolbook products accumulate into shared separated columns, then
+    the 16 reduction rounds run once — ~23% fewer ops than two mont_muls
+    for product pairs that are summed anyway (the RCB15 EC formulas' x3/y3/
+    z3 outputs are exactly such pairs).  Column bound: <= 64 16-bit pieces
+    from the two products (< 2^22) + <= 32 reduction pieces (< 2^21) + one
+    folded carry — far below 2^32.  The pre-cond-sub result is
+    (a*b + c*d + m*p)/R < p + 8p^2/2^256 < 2.5p for BN254-sized p, so one
+    cond_sub_2p restores the [0, 2p) redundant invariant.
+    """
+    t = [None] * (2 * NLIMBS + 1)
+    for x, y in ((a, b), (c, d)):
+        for i in range(NLIMBS):
+            xi = x[i]
+            for j in range(NLIMBS):
+                prod = xi * y[j]
+                lo = prod & _MASK
+                hi = prod >> LIMB_BITS
+                t[i + j] = lo if t[i + j] is None else t[i + j] + lo
+                t[i + j + 1] = hi if t[i + j + 1] is None else t[i + j + 1] + hi
+    for i in range(NLIMBS):
+        m = (t[i] * n0) & _MASK
+        for j in range(NLIMBS):
+            pm = m * p_limbs[j]
+            t[i + j] = t[i + j] + (pm & _MASK)
+            t[i + j + 1] = t[i + j + 1] + (pm >> LIMB_BITS)
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+    out = []
+    cc = None
+    for j in range(NLIMBS, 2 * NLIMBS):
+        v = t[j] if cc is None else t[j] + cc
+        out.append(v & _MASK)
+        cc = v >> LIMB_BITS
+    return cond_sub_2p(out, p2_limbs)
+
+
 def cond_sub_p(cols, p_limbs):
     """Reduce a normalized 16-limb value in [0, 2p) to [0, p)."""
     out = []
@@ -271,9 +309,14 @@ def ec_add_mixed_cols(x1, y1, z1, x2, y2, fc):
     fc = (p_limbs, p2_limbs, n0).  All coords Montgomery limb lists < 2p.
     p2 addition keeps everything < 2p; correct for identity accumulators
     ((0:y:0) with any y ≡ nonzero) but x2,y2 must be a real affine point.
+
+    The three output coordinates are sums of product PAIRS, computed with
+    the fused one-reduction mont_mul2_cols (x3 negates one operand first) —
+    3 of the formula's 11 reductions disappear.
     """
     p_limbs, p2, n0 = fc
     mm = lambda a, b: mont_mul_cols(a, b, p_limbs, n0)
+    mm2 = lambda a, b, c, d: mont_mul2_cols(a, b, c, d, p_limbs, p2, n0)
     ad = lambda a, b: add_mod_2p(a, b, p2)
     sb = lambda a, b: sub_mod_2p(a, b, p2)
     b3 = lambda a: mul_small_mod_2p(a, 9, p2)
@@ -289,18 +332,22 @@ def ec_add_mixed_cols(x1, y1, z1, x2, y2, fc):
     z3 = ad(t1, t2)
     t1 = sb(t1, t2)
     y3 = b3(y3)
-    x3 = sb(mm(t3, t1), mm(t4, y3))
-    y3 = ad(mm(y3, t0), mm(t1, z3))
-    z3 = ad(mm(z3, t4), mm(t0, t3))
+    ny3 = sub_mod_2p([jnp.zeros_like(c) for c in y3], y3, p2)
+    x3 = mm2(t3, t1, t4, ny3)        # t3*t1 - t4*y3
+    y3 = mm2(y3, t0, t1, z3)         # y3*t0 + t1*z3
+    z3 = mm2(z3, t4, t0, t3)         # z3*t4 + t0*t3
     return x3, y3, z3
 
 
 def ec_add_cols(p1, p2_, fc):
-    """Complete projective add (RCB15 alg. 7, a=0), redundant form."""
+    """Complete projective add (RCB15 alg. 7, a=0), redundant form.
+    Output coordinates use the fused one-reduction product pairs
+    (see ec_add_mixed_cols)."""
     p_limbs, p2, n0 = fc
     x1, y1, z1 = p1
     x2, y2, z2 = p2_
     mm = lambda a, b: mont_mul_cols(a, b, p_limbs, n0)
+    mm2 = lambda a, b, c, d: mont_mul2_cols(a, b, c, d, p_limbs, p2, n0)
     ad = lambda a, b: add_mod_2p(a, b, p2)
     sb = lambda a, b: sub_mod_2p(a, b, p2)
     b3 = lambda a: mul_small_mod_2p(a, 9, p2)
@@ -319,7 +366,8 @@ def ec_add_cols(p1, p2_, fc):
     z3 = ad(t1, t2)
     t1 = sb(t1, t2)
     y3 = b3(y3)
-    x3 = sb(mm(t3, t1), mm(t4, y3))
-    y3 = ad(mm(y3, t0), mm(t1, z3))
-    z3 = ad(mm(z3, t4), mm(t0, t3))
+    ny3 = sub_mod_2p([jnp.zeros_like(c) for c in y3], y3, p2)
+    x3 = mm2(t3, t1, t4, ny3)
+    y3 = mm2(y3, t0, t1, z3)
+    z3 = mm2(z3, t4, t0, t3)
     return x3, y3, z3

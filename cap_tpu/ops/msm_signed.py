@@ -75,19 +75,24 @@ def signed_digits_device(scalars):
 
 
 def _batch_inverse(x, ctx):
-    """Montgomery batched inversion of [m,16] (prefix-product trick)."""
-    pref = lax.associative_scan(lambda a, b: fj.mont_mul(a, b, ctx), x, axis=0)
-    total_inv = fj.inv(pref[-1:], ctx)
+    """Montgomery batched inversion of [m,16] (prefix/suffix-product trick).
 
-    # suffix pass: inv_i = prefix_{i-1} * suffix_inv_i, computed by a reverse scan
-    rev = jnp.flip(x, axis=0)
-    # suffix products of elements AFTER i: scan over reversed
-    sufpref = lax.associative_scan(lambda a, b: fj.mont_mul(a, b, ctx), rev, axis=0)
-    suf = jnp.flip(
-        jnp.concatenate([fj.one_mont((1,), ctx), sufpref[:-1]], axis=0), axis=0
-    )  # prod of x[i+1:]
-    prev = jnp.concatenate([fj.one_mont((1,), ctx), pref[:-1]], axis=0)  # prod x[:i]
-    return fj.mont_mul(fj.mont_mul(prev, suf, ctx), total_inv, ctx)
+    Shift-ladder prefix/suffix products with the flat Pallas multiplier on
+    block-aligned sizes — the round-3 version used lax.associative_scan
+    over the scan-CIOS multiply, which dominated the 348 s signed-table
+    build (the cold-start cliff, VERDICT r3 item 2)."""
+    from cap_tpu.ops import pallas_field as pfl
+
+    m = x.shape[0]
+    mul = None
+    if pfl.use_pallas() and m % pfl.BLK == 0:
+        mul = lambda a, b: pfl.mont_mul_pallas(a, b, ctx)
+    pref = fj.prefix_prod(x, ctx, mul=mul)          # prod x[:i+1]
+    suf = fj.suffix_prod(x, ctx, mul=mul)           # prod x[i:]
+    total_inv = fj.inv(pref[-1:], ctx)
+    prev = jnp.concatenate([fj.one_mont((1,), ctx), pref[:-1]], axis=0)
+    nxt = jnp.concatenate([suf[1:], fj.one_mont((1,), ctx)], axis=0)
+    return fj.mont_mul(fj.mont_mul(prev, nxt, ctx), total_inv, ctx)
 
 
 def build_signed_table(px, py, m: int, mp: int | None = None) -> jnp.ndarray:

@@ -49,10 +49,16 @@ class HostResult:
 
 
 def _worker_main(args) -> None:
-    """Entry point inside a worker process: build a small circuit family,
-    preprocess once, prove `n` instances from the host's queue shard,
-    verify each, write a JSON report."""
-    os.environ.setdefault("CAP_MSM", "host")  # tiny proofs: host Pippenger
+    """Entry point inside a worker process: preprocess once, prove `n`
+    instances from the host's queue shard, verify each, write a JSON report.
+
+    Workloads:
+      toy  — x^5 chain circuit family (fast; default-suite pool tests)
+      mint — REAL CAP mint notes (domain 2^14, native host Pippenger) —
+             the reference's batch shape (benches/batch_verification.rs:40-51)
+             as shared-nothing DP work units (VERDICT r3 item 5)
+    """
+    os.environ.setdefault("CAP_MSM", "host")
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -63,6 +69,32 @@ def _worker_main(args) -> None:
     from cap_tpu.plonk.srs import universal_setup
     from cap_tpu.utils.rng import CapRng
 
+    rng = CapRng(args.seed.encode())
+
+    if args.workload == "mint":
+        from cap_tpu.proof import mint as mproof, universal_setup_for_staging
+        from cap_tpu.utils.params_builder import MintParamsBuilder
+
+        depth = 2
+        srs = universal_setup_for_staging(2**14 + 2, os.path.join(_REPO, "data"))
+        pk, vk = mproof.preprocess(srs, depth)  # preprocess ONCE per host
+        t0 = time.time()
+        ok = True
+        for i in range(args.n):
+            if args.fail_at is not None and i == args.fail_at:
+                os._exit(17)
+            b = MintParamsBuilder(rng, depth, with_viewer=True)
+            note, *_ = b.build_mint_note(pk)       # REAL prove
+            try:
+                note.verify(vk, b.tree.root)        # REAL pairings
+            except Exception:
+                ok = False
+        dt = time.time() - t0
+        with open(args.out, "w") as f:
+            json.dump({"host": args.host, "proofs": args.n, "seconds": dt,
+                       "ok": ok}, f)
+        return
+
     def build(x0: int, rounds: int):
         c = PlonkCircuit()
         x = c.load(x0)
@@ -72,7 +104,6 @@ def _worker_main(args) -> None:
         c.set_variable_public(x)
         return c
 
-    rng = CapRng(args.seed.encode())
     c0 = build(12345 + args.host, args.rounds)
     fin = c0.finalize_for_arithmetization()
     srs = universal_setup(fin.n + 2, rng)
@@ -95,7 +126,7 @@ def _worker_main(args) -> None:
 
 
 def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
-                  rounds: int, fail_at) -> tuple[subprocess.Popen, str]:
+                  rounds: int, fail_at, workload: str = "toy") -> tuple[subprocess.Popen, str]:
     out = os.path.join(td, f"host{host}_try{attempt}.json")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -103,6 +134,7 @@ def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
         sys.executable, "-m", "cap_tpu.parallel.hosts",
         "--worker", "--host", str(host), "--n", str(proofs_per_host),
         "--rounds", str(rounds), "--seed", f"host-pool-{host}",
+        "--workload", workload,
         "--out", out,
     ]
     if fail_at is not None:
@@ -117,6 +149,7 @@ def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
 def simulate_host_pool(
     n_hosts: int, proofs_per_host: int, *, rounds: int = 40,
     timeout: float = 900.0, retries: int = 0, inject_fail_at: dict | None = None,
+    workload: str = "toy",
 ) -> list[HostResult]:
     """Spawn `n_hosts` shared-nothing OS worker processes, each proving its
     own queue shard, and collect per-host reports.
@@ -136,7 +169,8 @@ def simulate_host_pool(
             for h, attempt in pending.items():
                 fail_at = inject_fail_at.get(h) if attempt == 0 else None
                 procs[h] = _launch_shard(
-                    td, h, attempt, proofs_per_host, rounds, fail_at
+                    td, h, attempt, proofs_per_host, rounds, fail_at,
+                    workload=workload,
                 )
             next_pending = {}
             for h, (p, out) in procs.items():
@@ -189,6 +223,7 @@ if __name__ == "__main__":
     ap.add_argument("--n", type=int, default=1)
     ap.add_argument("--rounds", type=int, default=40)
     ap.add_argument("--seed", type=str, default="host-pool")
+    ap.add_argument("--workload", type=str, default="toy", choices=["toy", "mint"])
     ap.add_argument("--fail-at", type=int, default=None)
     ap.add_argument("--out", type=str, required=True)
     a = ap.parse_args()

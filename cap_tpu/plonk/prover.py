@@ -541,8 +541,7 @@ def _kernels(n: int, mesh=None):
         prods = _mm_flat(
             polys.reshape(11 * (n + 3), NLIMBS), pws.reshape(11 * (n + 3), NLIMBS)
         ).reshape(11, n + 3, NLIMBS)
-        evs = fj.field_sum(prods, axis=-2)  # [11, 16]
-        return evs[:5], evs[5:10], evs[10]
+        return fj.field_sum(prods, axis=-2)  # [11, 16] — ONE host transfer
 
     @jax.jit
     def lincomb(polys, scalars):
@@ -572,12 +571,80 @@ def _kernels(n: int, mesh=None):
         wc = _mm_flat(s[1:], zip_[1:])[: n + 2]
         return wc, fj.from_mont(wc)
 
+    # ---- fused per-transcript-round programs (single-device signed MSM):
+    # each round is ONE jitted program ending in its commit, so a prove
+    # costs exactly 5 host syncs (one per Fiat-Shamir round) — on this
+    # runtime a sync is ~29 ms of tunnel latency, so the unfused flow's
+    # extra trips (separate commit dispatch + pow-table rebuilds) were
+    # pure overhead.
+
+    def _commit_in(tab, plain_batch):
+        from cap_tpu.ops import msm_signed as msg
+
+        k, m, _ = plain_batch.shape
+        mp = tab.shape[1]
+        padded = jnp.concatenate(
+            [plain_batch, jnp.zeros((k, mp - m, NLIMBS), jnp.uint32)], axis=1
+        )
+        return msg.msm_signed_commit_device(tab, padded)
+
+    @jax.jit
+    def round1_fused(tab, wit_plain_u16, wire_idx, blinds, intt_tabs=None):
+        wire_evals = gather_phase(wit_plain_u16, wire_idx)
+        wire_ext, wire_plain = wires_phase(wire_evals, blinds, intt_tabs)
+        return wire_evals, wire_ext, _commit_in(tab, wire_plain)
+
+    @jax.jit
+    def round2_fused(tab, wire_evals, sigma_evals, ks_x, beta, gamma, blinds,
+                     intt_tabs=None):
+        z_coeffs, z_plain = z_phase(wire_evals, sigma_evals, ks_x, beta,
+                                    gamma, blinds, intt_tabs)
+        return z_coeffs, _commit_in(tab, z_plain[None])
+
+    @jax.jit
+    def round3_fused(tab, wire_ext, z_coeffs, pub_mont, sel_coset, sigma_coset,
+                     ks_x_coset, l1_coset, inv_zh_coset, alpha, beta, gamma,
+                     intt_tabs=None, cos8_fwd=None, cos8_inv=None):
+        t_chunks, t_plain, tail_ok = quotient_phase(
+            wire_ext, z_coeffs, pub_mont, sel_coset, sigma_coset, ks_x_coset,
+            l1_coset, inv_zh_coset, alpha, beta, gamma,
+            intt_tabs, cos8_fwd, cos8_inv,
+        )
+        return t_chunks, tail_ok, _commit_in(tab, t_plain)
+
+    @jax.jit
+    def round5_fused(tab, sel_coeffs, z_coeffs, sigma_coeffs, t_chunks,
+                     wire_ext, r_scalars, v_pows, zeta_m, zeta_inv_m,
+                     zw_m, zw_inv_m):
+        """Linearization + both opening quotients + the k=2 commit in ONE
+        program.  r_scalars: [20,16] mont scalars for
+        [13 selectors, z, sigma4, t0..t4]; v_pows: [10,16]."""
+        m_r = n + 3
+        polys_r = jnp.concatenate([
+            jnp.stack([srs_pad(sel_coeffs[i], m_r) for i in range(13)]),
+            srs_pad(z_coeffs, m_r)[None],
+            srs_pad(sigma_coeffs[4], m_r)[None],
+            jnp.stack([srs_pad(t_chunks[i], m_r) for i in range(5)]),
+        ])
+        r_poly = lincomb(polys_r, r_scalars)
+        polys_q = jnp.concatenate([
+            r_poly[None],
+            jnp.stack([srs_pad(wire_ext[j], m_r) for j in range(5)]),
+            jnp.stack([srs_pad(sigma_coeffs[j], m_r) for j in range(4)]),
+        ])
+        q_poly = lincomb(polys_q, v_pows)
+        w_zeta_c, w_zeta_plain = open_phase(q_poly, zeta_m, zeta_inv_m)
+        w_om_c, w_om_plain = open_phase(srs_pad(z_coeffs, m_r), zw_m, zw_inv_m)
+        return _commit_in(tab, jnp.stack([w_zeta_plain, w_om_plain]))
+
     return SimpleNamespace(
         dom=dom, dom8=dom8, g=g,
         gather_phase=gather_phase,
         wires_phase=wires_phase, z_phase=z_phase,
         quotient_phase=quotient_phase, evals_phase=evals_phase,
         lincomb=lincomb, open_phase=open_phase,
+        round1_fused=round1_fused, round2_fused=round2_fused,
+        round3_fused=round3_fused, round5_fused=round5_fused,
     )
 
 
@@ -752,6 +819,16 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     srs = pk.srs
     p = FR.p
 
+    # fused per-round programs: single device, signed MSM engine — one jit
+    # call (= one ~29 ms host sync) per Fiat-Shamir round instead of
+    # separate phase + commit dispatches
+    fused_rounds = (
+        os.environ.get("CAP_MSM", "signed") == "signed"
+        and _prover_mesh() is None
+        and jax.default_backend() != "cpu"
+    )
+    tab = signed_table(srs, n + 3) if fused_rounds else None
+
     transcript = new_transcript()
     transcript.begin_proof(pk.vk, pub_inputs, ext_msg)
 
@@ -767,12 +844,18 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     if wire_idx is None:
         wire_idx = jnp.asarray(np.asarray(pk.wire_index, dtype=np.int32))
         pk.wire_index_dev = wire_idx
-    wire_evals = K.gather_phase(wit_u16, wire_idx)
     blinds1 = _mont_many([FR.rand(rng) for _ in range(10)]).reshape(5, 2, NLIMBS)
     mxu = _mxu_pack(n)
-    wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1, mxu["intt_n"])
-    _mark("pack+to_mont")
-    wire_comms = commit_batch(srs, wire_plain)
+    if fused_rounds:
+        wire_evals, wire_ext, c1 = K.round1_fused(
+            tab, wit_u16, wire_idx, blinds1, mxu["intt_n"]
+        )
+        wire_comms = msg_mod.points_from_batch_result(c1)
+    else:
+        wire_evals = K.gather_phase(wit_u16, wire_idx)
+        wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1, mxu["intt_n"])
+        _mark("pack+to_mont")
+        wire_comms = commit_batch(srs, wire_plain)
     _mark("round1 wires+commit")
     transcript.append_points(b"wires", wire_comms)
     beta = transcript.challenge(b"beta")
@@ -780,24 +863,40 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
 
     # round 2 — permutation grand product
     blinds_z = _mont_many([FR.rand(rng) for _ in range(3)])
-    z_coeffs, z_plain = K.z_phase(
-        wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma),
-        blinds_z, mxu["intt_n"],
-    )
-    z_comm = commit_batch(srs, z_plain[None])[0]
+    if fused_rounds:
+        z_coeffs, c2 = K.round2_fused(
+            tab, wire_evals, pk.sigma_evals_dev, pk.ks_x_dev,
+            _mont(beta), _mont(gamma), blinds_z, mxu["intt_n"],
+        )
+        z_comm = msg_mod.points_from_batch_result(c2)[0]
+    else:
+        z_coeffs, z_plain = K.z_phase(
+            wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma),
+            blinds_z, mxu["intt_n"],
+        )
+        z_comm = commit_batch(srs, z_plain[None])[0]
     _mark("round2 z+commit")
     transcript.append_point(b"z", z_comm)
     alpha = transcript.challenge(b"alpha")
 
     # round 3 — quotient
     pub_mont = jnp.asarray(ints_to_limbs([v % p for v in pub_inputs], FR))
-    t_chunks, t_plain, tail_ok = K.quotient_phase(
-        wire_ext, z_coeffs, pub_mont,
-        pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset, pk.inv_zh_coset,
-        _mont(alpha), _mont(beta), _mont(gamma),
-        mxu["intt_n"], mxu["cos8_fwd"], mxu["cos8_inv"],
-    )
-    t_comms = commit_batch(srs, t_plain)
+    if fused_rounds:
+        t_chunks, tail_ok, c3 = K.round3_fused(
+            tab, wire_ext, z_coeffs, pub_mont,
+            pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset,
+            pk.inv_zh_coset, _mont(alpha), _mont(beta), _mont(gamma),
+            mxu["intt_n"], mxu["cos8_fwd"], mxu["cos8_inv"],
+        )
+        t_comms = msg_mod.points_from_batch_result(c3)
+    else:
+        t_chunks, t_plain, tail_ok = K.quotient_phase(
+            wire_ext, z_coeffs, pub_mont,
+            pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset, pk.inv_zh_coset,
+            _mont(alpha), _mont(beta), _mont(gamma),
+            mxu["intt_n"], mxu["cos8_fwd"], mxu["cos8_inv"],
+        )
+        t_comms = commit_batch(srs, t_plain)
     _mark("round3 quotient+commit")
     if not bool(tail_ok):
         # F(X) is not divisible by Z_H — the witness does not satisfy the
@@ -808,15 +907,18 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     transcript.append_points(b"t", t_comms)
     zeta = transcript.challenge(b"zeta")
 
-    # round 4 — evaluations (zeta power tables built on device)
+    # round 4 — evaluations (zeta power tables built on device; the 11
+    # evaluations come back in ONE [11,16] transfer — three separate
+    # device_gets here cost 3x the ~29 ms tunnel round trip)
     omega = pk.domain.omega
     zw = zeta * omega % p
-    wire_evs_d, sig_evs_d, z_om_d = K.evals_phase(
+    evs_d = K.evals_phase(
         wire_ext, pk.sigma_coeffs, z_coeffs, _mont(zeta), _mont(zw)
     )
-    wire_evs = limbs_to_ints(np.asarray(wire_evs_d), FR)
-    sig_evs = limbs_to_ints(np.asarray(sig_evs_d), FR)[:4]
-    z_omega_eval = limbs_to_int(np.asarray(z_om_d), FR)
+    evs = limbs_to_ints(np.asarray(evs_d), FR)
+    wire_evs = evs[:5]
+    sig_evs = evs[5:9]
+    z_omega_eval = evs[10]
     _mark("round4 evals")
     transcript.append_scalars(b"evals", wire_evs + sig_evs + [z_omega_eval])
     v = transcript.challenge(b"v")
@@ -843,33 +945,42 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
         "c": 1, "o": (p - abar[4]) % p,
     }
     m_r = n + 3
-    polys = [srs_pad(pk.sel_coeffs[i], m_r) for i in range(13)]
-    scalars = [gate_coeffs[name] for name in SELECTORS]
-    polys.append(srs_pad(z_coeffs, m_r))
-    scalars.append((alpha * f_zeta + alpha2 * l1_zeta) % p)
-    polys.append(srs_pad(pk.sigma_coeffs[4], m_r))
-    scalars.append((p - alpha * beta % p * z_omega_eval % p * pi3 % p) % p)
-    for k_i in range(5):
-        polys.append(srs_pad(t_chunks[k_i], m_r))
-        scalars.append((p - zh_zeta * pow(zeta, k_i * (n + 2), p)) % p)
-    r_poly = K.lincomb(jnp.stack(polys), _mont_many(scalars))
-
+    r_scalars = [gate_coeffs[name] for name in SELECTORS]
+    r_scalars.append((alpha * f_zeta + alpha2 * l1_zeta) % p)
+    r_scalars.append((p - alpha * beta % p * z_omega_eval % p * pi3 % p) % p)
+    r_scalars += [
+        (p - zh_zeta * pow(zeta, k_i * (n + 2), p)) % p for k_i in range(5)
+    ]
     # batched opening at zeta: r, a0..a4, sigma0..sigma3 with powers of v
     # (r(zeta) itself is recomputed by the verifier; the suffix-sum opening
     # kernel never needs the claimed evaluations — they cancel exactly)
-    open_polys = [r_poly] + [srs_pad(wire_ext[j], m_r) for j in range(5)] + [
-        srs_pad(pk.sigma_coeffs[j], m_r) for j in range(4)
-    ]
     v_pows = [pow(v, i, p) for i in range(10)]
-    q_poly = K.lincomb(jnp.stack(open_polys), _mont_many(v_pows))
 
-    w_zeta_c, w_zeta_plain = K.open_phase(
-        q_poly, _mont(zeta), _mont(pow(zeta, -1, p))
-    )
-    w_om_c, w_om_plain = K.open_phase(
-        srs_pad(z_coeffs, m_r), _mont(zw), _mont(pow(zw, -1, p))
-    )
-    w_comms = commit_batch(srs, jnp.stack([w_zeta_plain, w_om_plain]))
+    if fused_rounds:
+        c5 = K.round5_fused(
+            tab, pk.sel_coeffs, z_coeffs, pk.sigma_coeffs, t_chunks, wire_ext,
+            _mont_many(r_scalars), _mont_many(v_pows),
+            _mont(zeta), _mont(pow(zeta, -1, p)), _mont(zw), _mont(pow(zw, -1, p)),
+        )
+        w_comms = msg_mod.points_from_batch_result(c5)
+    else:
+        polys = [srs_pad(pk.sel_coeffs[i], m_r) for i in range(13)]
+        polys.append(srs_pad(z_coeffs, m_r))
+        polys.append(srs_pad(pk.sigma_coeffs[4], m_r))
+        for k_i in range(5):
+            polys.append(srs_pad(t_chunks[k_i], m_r))
+        r_poly = K.lincomb(jnp.stack(polys), _mont_many(r_scalars))
+        open_polys = [r_poly] + [srs_pad(wire_ext[j], m_r) for j in range(5)] + [
+            srs_pad(pk.sigma_coeffs[j], m_r) for j in range(4)
+        ]
+        q_poly = K.lincomb(jnp.stack(open_polys), _mont_many(v_pows))
+        w_zeta_c, w_zeta_plain = K.open_phase(
+            q_poly, _mont(zeta), _mont(pow(zeta, -1, p))
+        )
+        w_om_c, w_om_plain = K.open_phase(
+            srs_pad(z_coeffs, m_r), _mont(zw), _mont(pow(zw, -1, p))
+        )
+        w_comms = commit_batch(srs, jnp.stack([w_zeta_plain, w_om_plain]))
     _mark("round5 openings+commit")
     transcript.append_points(b"w", w_comms)
     transcript.challenge(b"u")  # drawn for symmetry with the verifier

@@ -229,9 +229,8 @@ def build_fused_prove(pk, ext_byte_len: int | None, mxu):
 
         # round 4 — evaluations
         zw = mm(zeta, omega_m)
-        wire_evs_d, sig_evs_d, z_om_d = K.evals_phase(
-            wire_ext, sigma_coeffs, z_coeffs, zeta, zw
-        )
+        evs_d = K.evals_phase(wire_ext, sigma_coeffs, z_coeffs, zeta, zw)
+        wire_evs_d, sig_evs_d, z_om_d = evs_d[:5], evs_d[5:10], evs_d[10]
         wire_evs_p = fj.from_mont(wire_evs_d, FRC)          # [5,16] plain
         sig_evs_p = fj.from_mont(sig_evs_d[:4], FRC)        # [4,16]
         z_om_p = fj.from_mont(z_om_d, FRC)                  # [16]

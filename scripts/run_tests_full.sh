@@ -15,6 +15,11 @@ export PYTHONHASHSEED=0
 
 # full sweep reports ALL failures (no -x — ADVICE r3: the reference's full
 # run reports the entire crate's results; fast-fail stays in run_tests.sh)
+echo "== slow-CPU tier: real proofs for all three note types =="
+CAP_RUN_SLOW_CPU=1 python -m pytest tests/test_real_notes_slow.py -q
+# (writes data/real_notes_bn254.pkl, consumed by the default suite's real
+# mixed-type batch-verify test)
+
 echo "== default suite (bn254 + bls12_377 + bls12_381, CPU mesh) =="
 python -m pytest tests/ -q
 

@@ -199,3 +199,102 @@ class TestMontVariants:
                 for k, g in enumerate(got):
                     assert g < 2 * field.p
                     assert g % field.p == xs[k] * ys[k] * rinv % field.p
+
+
+class TestFusedDoubleProduct:
+    def test_mont_mul2_cols_matches_two_muls(self):
+        """mont_mul2_cols(a,b,c,d) == (a*b + c*d)*R^-1 mod p, output < 2p,
+        over the full redundant input domain (VERDICT r4 EC lazy-reduction)."""
+        import random
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cap_tpu.fields.host import FQ, FR, LIMB_BITS, NLIMBS
+        from cap_tpu.ops import limb_kernels as lk
+
+        rng = random.Random(123)
+        for field in (FQ, FR):
+            p_limbs = [np.uint32((field.p >> (LIMB_BITS * i)) & 0xFFFF)
+                       for i in range(NLIMBS)]
+            p2 = 2 * field.p
+            p2_limbs = [np.uint32((p2 >> (LIMB_BITS * i)) & 0xFFFF)
+                        for i in range(NLIMBS)]
+            n0 = np.uint32((-pow(field.p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS))
+            vals = [0, 1, field.p - 1, field.p, 2 * field.p - 1]
+            vals += [rng.randrange(2 * field.p) for _ in range(40)]
+            quads = [[rng.choice(vals) for _ in range(4)] for _ in range(64)]
+            to_cols = lambda ints: [
+                jnp.asarray(
+                    [(v >> (LIMB_BITS * i)) & 0xFFFF for v in ints], jnp.uint32
+                )
+                for i in range(NLIMBS)
+            ]
+            a, b, c, d = (to_cols([q[j] for q in quads]) for j in range(4))
+            out = lk.mont_mul2_cols(a, b, c, d, p_limbs, p2_limbs, n0)
+            rinv = pow(1 << (LIMB_BITS * NLIMBS), -1, field.p)
+            got = [
+                sum(int(col[k]) << (LIMB_BITS * i) for i, col in enumerate(out))
+                for k in range(64)
+            ]
+            for k, g in enumerate(got):
+                qa, qb, qc, qd = quads[k]
+                assert g < 2 * field.p
+                assert g % field.p == (qa * qb + qc * qd) * rinv % field.p
+
+    def test_ec_add_mixed_cols_matches_host(self):
+        """limb-level mixed add (with fused double-products) vs host bigint
+        group law, including identity accumulators and redundant coords."""
+        import random
+
+        import jax.numpy as jnp
+
+        from cap_tpu.crypto.bn254 import (
+            G1_GEN, g1_add, g1_mul,
+        )
+        from cap_tpu.fields.host import FQ, LIMB_BITS, NLIMBS
+        from cap_tpu.ops import limb_kernels as lk
+
+        rng = random.Random(7)
+        fc = lk.field_consts(__import__("cap_tpu.ops.field_jax", fromlist=["FQ_CTX"]).FQ_CTX)
+        R = 1 << (LIMB_BITS * NLIMBS)
+
+        def to_cols(ints):
+            return [
+                jnp.asarray(
+                    [(v >> (LIMB_BITS * i)) & 0xFFFF for v in ints], jnp.uint32
+                )
+                for i in range(NLIMBS)
+            ]
+
+        def from_cols(cols, k):
+            return sum(int(c[k]) << (LIMB_BITS * i) for i, c in enumerate(cols))
+
+        # lanes: random acc + random affine, identity acc, acc with z != 1
+        accs, gs, expect = [], [], []
+        for k in range(8):
+            P = g1_mul(G1_GEN, rng.randrange(1, 1000))
+            Q = g1_mul(G1_GEN, rng.randrange(1, 1000))
+            if k == 0:
+                acc = (0, 1, 0)  # identity accumulator
+            else:
+                zz = rng.randrange(1, FQ.p)
+                acc = (P[0] * zz % FQ.p, P[1] * zz % FQ.p, zz)
+            accs.append(acc)
+            gs.append(Q)
+            expect.append(g1_add(None if k == 0 else P, Q))
+        mont = lambda v: v * R % FQ.p
+        x1 = to_cols([mont(a[0]) for a in accs])
+        y1 = to_cols([mont(a[1]) for a in accs])
+        z1 = to_cols([mont(a[2]) for a in accs])
+        x2 = to_cols([mont(g[0]) for g in gs])
+        y2 = to_cols([mont(g[1]) for g in gs])
+        ox, oy, oz = lk.ec_add_mixed_cols(x1, y1, z1, x2, y2, fc)
+        rinv = pow(R, -1, FQ.p)
+        for k in range(8):
+            gx = from_cols(ox, k) * rinv % FQ.p
+            gy = from_cols(oy, k) * rinv % FQ.p
+            gz = from_cols(oz, k) * rinv % FQ.p
+            ex, ey = expect[k]
+            zi = pow(gz, -1, FQ.p)
+            assert (gx * zi % FQ.p, gy * zi % FQ.p) == (ex, ey)
