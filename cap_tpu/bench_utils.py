@@ -116,14 +116,25 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
              freeze_inputs=(2, 3),
              batch_sizes=(1, 2, 4),
              srs_degree: int = 2**17 + 2,
+             samples: int = 3,
              progress=print):
     """The reference criterion grid: Gen+Verify per shape per family, plus
     batch-verification rows.  Writes (and returns) the CSV.
 
     Matches benches/{transfer,mint,freeze,batch_verification}.rs at the
     reference's depth-26 tree; each shape costs one preprocess (Python
-    circuit synthesis + device compiles), then one warm prove is timed.
+    circuit synthesis + device compiles), then `samples` warm runs are
+    timed and the MEDIAN is reported (>=3 samples/cell per VERDICT r3 —
+    single contended samples don't ship in the comparable artifact).
     """
+    import statistics
+
+    def _time_med(fn, k=samples):
+        vals, res = [], None
+        for _ in range(max(1, k)):
+            res, t = _time_once(fn)
+            vals.append(t)
+        return res, statistics.median(vals)
     from cap_tpu import lib as cap_lib
     from cap_tpu.proof import (
         freeze as fproof,
@@ -156,9 +167,12 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         )
         b = mk()
         note, _, _ = b.build_transfer_note(pk)  # warm (tape + compiles)
-        b2 = mk()
-        (note2, _, _), gen_s = _time_once(lambda: b2.build_transfer_note(pk))
-        ok, ver_s = _time_once(
+        def _gen_transfer():
+            b2 = mk()
+            note2, _, _ = b2.build_transfer_note(pk)
+            return (note2, b2)
+        (note2, b2), gen_s = _time_med(_gen_transfer)
+        ok, ver_s = _time_med(
             lambda: note2.verify(vk, b2.tree.root, timestamp=5)
         )
         assert ok is not False  # note verify raises on failure
@@ -180,9 +194,11 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         b = MintParamsBuilder(rng, tree_depth=depth, with_viewer=True)
         note, *_rest = b.build_mint_note(pk)
-        b2 = MintParamsBuilder(rng, tree_depth=depth, with_viewer=True)
-        (note2, *_rest), gen_s = _time_once(lambda: b2.build_mint_note(pk))
-        ok, ver_s = _time_once(lambda: note2.verify(vk, b2.tree.root))
+        def _gen_mint():
+            b2 = MintParamsBuilder(rng, tree_depth=depth, with_viewer=True)
+            return (b2.build_mint_note(pk)[0], b2)
+        (note2, b2), gen_s = _time_med(_gen_mint)
+        ok, ver_s = _time_med(lambda: note2.verify(vk, b2.tree.root))
         assert ok is not False
         nb = len(transaction_note_to_bytes(note2))
         args = (1, 2, depth, domain, gates, nb, _pk_bytes(pk), _vk_bytes(vk))
@@ -200,9 +216,11 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         domain, gates = pk.plonk_pk.n, getattr(pk.plonk_pk, "num_gates", 0)
         b = FreezeParamsBuilder(rng, n_inputs=n_in, tree_depth=depth)
         note, *_rest = b.build_freeze_note(pk)
-        b2 = FreezeParamsBuilder(rng, n_inputs=n_in, tree_depth=depth)
-        (note2, *_rest), gen_s = _time_once(lambda: b2.build_freeze_note(pk))
-        ok, ver_s = _time_once(lambda: note2.verify(vk, b2.tree.root))
+        def _gen_freeze():
+            b2 = FreezeParamsBuilder(rng, n_inputs=n_in, tree_depth=depth)
+            return (b2.build_freeze_note(pk)[0], b2)
+        (note2, b2), gen_s = _time_med(_gen_freeze)
+        ok, ver_s = _time_med(lambda: note2.verify(vk, b2.tree.root))
         assert ok is not False
         nb = len(transaction_note_to_bytes(note2))
         args = (n_in, n_in, depth, domain, gates, nb, _pk_bytes(pk), _vk_bytes(vk))
@@ -220,7 +238,7 @@ def run_grid(out_path: str = "/tmp/cap_tpu_benchmark.csv",
         for bs in batch_sizes:
             sel = [(notes[i % len(notes)], vks[i % len(vks)], roots[i % len(roots)])
                    for i in range(bs)]
-            _, t = _time_once(lambda: cap_lib.txn_batch_verify(
+            _, t = _time_med(lambda: cap_lib.txn_batch_verify(
                 [s[0] for s in sel], [s[2] for s in sel], 5,
                 [s[1] for s in sel],
             ))  # raises on failure

@@ -386,23 +386,41 @@ class RescueCommitment:
 # ---------------------------------------------------------------------------
 
 
+def _native_counter_stream(key4, nblocks: int):
+    global _native_stream_fn
+    if _native_stream_fn is None:
+        try:
+            from cap_tpu.utils import native
+
+            _native_stream_fn = (
+                native.rescue_counter_stream if native.HAVE_NATIVE else False
+            )
+        except Exception:
+            _native_stream_fn = False
+    if _native_stream_fn is False:
+        return None
+    return _native_stream_fn(key4, nblocks)
+
+
+_native_stream_fn = None
+
+
 def apply_key_stream(field: PrimeField, key4, data, is_add: bool) -> list[int]:
     """spec Alg 6 ApplyKeyStream: round keys = KeyScheduling(key4); block i
     of StateSize elements is offset by RescueWithRoundKeys([i,0,0,0], rks)
     (added when encrypting, subtracted when decrypting; a trailing partial
     block uses the stream prefix)."""
-    params = rescue_params(field)
-    rks = key_scheduling(params, tuple(v % field.p for v in key4))
     p = field.p
-    out = []
-    for blk in range(0, len(data), STATE_WIDTH):
-        block = data[blk : blk + STATE_WIDTH]
-        nonce = blk // STATE_WIDTH
-        stream = permute_with_round_keys(
-            params, [nonce, 0, 0, 0], rks
-        )[: len(block)]
-        if is_add:
-            out.extend((d + s) % p for d, s in zip(block, stream))
-        else:
-            out.extend((d - s) % p for d, s in zip(block, stream))
-    return out
+    nblocks = (len(data) + STATE_WIDTH - 1) // STATE_WIDTH
+    stream = None
+    if field.name == "bn254::Fr":
+        stream = _native_counter_stream([v % p for v in key4], nblocks)
+    if stream is None:
+        params = rescue_params(field)
+        rks = key_scheduling(params, tuple(v % field.p for v in key4))
+        stream = []
+        for b in range(nblocks):
+            stream.extend(permute_with_round_keys(params, [b, 0, 0, 0], rks))
+    if is_add:
+        return [(d + s) % p for d, s in zip(data, stream)]
+    return [(d - s) % p for d, s in zip(data, stream)]

@@ -211,9 +211,20 @@ def _mxu_pack(n: int):
 
     return {
         "intt_n": mk(n, True, None),
+        "fwd_n": mk(n, False, None),
         "cos8_fwd": mk(8 * n, False, g),
         "cos8_inv": mk(8 * n, True, g),
     }
+
+
+@lru_cache(maxsize=None)
+def _row_consts_dev(n: int):
+    """Device tables for the 8-row coset quotient scheme (ntt.coset_row_consts),
+    threaded through jit as arguments like the MXU tables."""
+    from cap_tpu.ops.ntt import coset_row_consts
+
+    host = coset_row_consts(n, COSET_SHIFT_FOR(n))
+    return {k: jnp.asarray(v) for k, v in host.items()}
 
 
 @lru_cache(maxsize=None)
@@ -509,6 +520,111 @@ def _kernels(n: int, mesh=None):
         tail = tc[5 * (n + 2) :]
         return chunks, fj.from_mont(chunks), fj.is_zero(tail).all()
 
+    def _to_rows(t):
+        """[..., 8n, 16] natural-order coset table -> row-major layout
+        (index r*n + j), matching coset_ntt_rows output: a reshape+swap,
+        no gather (ntt.py row-scheme comment)."""
+        sh = t.shape
+        return (
+            t.reshape(sh[:-2] + (sh[-2] // 8, 8, NLIMBS))
+            .swapaxes(-3, -2)
+            .reshape(sh)
+        )
+
+    @jax.jit
+    def quotient_phase_rows(
+        wire_ext, z_coeffs, pub_mont,
+        sel_coset, sigma_coset, ks_x_coset, l1_coset, inv_zh_coset,
+        alpha, beta, gamma, rowc,
+        intt_tabs=None, fwd_n=None,
+    ):
+        """Quotient via the 8-row coset decomposition (single-device path):
+        56 size-n MXU transforms instead of eight 2^18 ones — measured
+        17 ms/transform at 8n vs ~0.9 ms at n on this chip."""
+        from cap_tpu.ops.ntt import coset_intt_rows, coset_ntt_rows_batch
+
+        m8 = 8 * n
+        pub_evals = _pad(pub_mont, n)
+        pi_coeffs = intt(pub_evals, dom, mxu=intt_tabs)
+        stack7 = jnp.stack(
+            [_pad(wire_ext[j], n + 3) for j in range(5)]
+            + [_pad(z_coeffs, n + 3), _pad(pi_coeffs, n + 3)]
+        )
+        rows7 = coset_ntt_rows_batch(stack7, dom, rowc, mxu_fwd=fwd_n)
+        w8 = rows7[:5].reshape(5, m8, NLIMBS)
+        z8 = rows7[5].reshape(m8, NLIMBS)
+        zw8 = jnp.roll(rows7[5], -1, axis=1).reshape(m8, NLIMBS)
+        pi8 = rows7[6].reshape(m8, NLIMBS)
+
+        from cap_tpu.ops import pallas_field as pfl
+
+        # pk tables arrive ALREADY row-major (cached once per key in
+        # prove() via to_rows_tables — transposing 25 [8n,16] tables per
+        # prove costs real HBM relayout time)
+        sel_r, sigma_r, ksx_r, l1_r, izh_r = (
+            sel_coset, sigma_coset, ks_x_coset, l1_coset, inv_zh_coset
+        )
+        if pfl.use_pallas() and m8 % 1024 == 0:
+            from cap_tpu.plonk import phase_kernels as phk
+
+            alpha2 = fj.mont_sqr(alpha)
+            sc4 = jnp.stack([alpha, alpha2, beta, gamma])
+            t8 = phk.quotient_eval_pallas(
+                w8, z8, zw8, pi8, sel_r, sigma_r, ksx_r,
+                l1_r, izh_r, sc4, fj.FR_CTX.one_mont_np,
+            )
+        else:
+            t8 = _quotient_eval_plain(
+                w8, z8, zw8, pi8, sel_r, sigma_r, ksx_r, l1_r, izh_r,
+                alpha, beta, gamma,
+            )
+        tc = coset_intt_rows(
+            t8.reshape(8, n, NLIMBS), dom, rowc, mxu_inv=intt_tabs
+        )
+        chunks = tc[: 5 * (n + 2)].reshape(5, n + 2, NLIMBS)
+        tail = tc[5 * (n + 2) :]
+        return chunks, fj.from_mont(chunks), fj.is_zero(tail).all()
+
+    def _quotient_eval_plain(w8, z8, zw8, pi8, sel, sigma, ksx, l1, izh,
+                             alpha, beta, gamma):
+        m8 = 8 * n
+        S = {name: sel[i] for i, name in enumerate(SELECTORS)}
+        gate = fj.mont_mul(S["lc0"], w8[0])
+        gate = fj.add(gate, fj.mont_mul(S["lc1"], w8[1]))
+        gate = fj.add(gate, fj.mont_mul(S["lc2"], w8[2]))
+        gate = fj.add(gate, fj.mont_mul(S["lc3"], w8[3]))
+        gate = fj.add(gate, fj.mont_mul(S["mul0"], fj.mont_mul(w8[0], w8[1])))
+        gate = fj.add(gate, fj.mont_mul(S["mul1"], fj.mont_mul(w8[2], w8[3])))
+        gate = fj.add(gate, fj.mont_mul(S["hash0"], _pow5(w8[0])))
+        gate = fj.add(gate, fj.mont_mul(S["hash1"], _pow5(w8[1])))
+        gate = fj.add(gate, fj.mont_mul(S["hash2"], _pow5(w8[2])))
+        gate = fj.add(gate, fj.mont_mul(S["hash3"], _pow5(w8[3])))
+        prod = fj.mont_mul(
+            fj.mont_mul(fj.mont_mul(w8[0], w8[1]), fj.mont_mul(w8[2], w8[3])),
+            w8[4],
+        )
+        gate = fj.add(gate, fj.mont_mul(S["ecc"], prod))
+        gate = fj.add(gate, S["c"])
+        gate = fj.sub(gate, fj.mont_mul(S["o"], w8[4]))
+        gate = fj.add(gate, pi8)
+        gam = gamma[None, :]
+        fnum = fj.one_mont((m8,))
+        gden = fj.one_mont((m8,))
+        for j in range(5):
+            fnum = fj.mont_mul(
+                fnum, fj.add(fj.add(w8[j], fj.mont_mul(beta, ksx[j])), gam)
+            )
+            gden = fj.mont_mul(
+                gden, fj.add(fj.add(w8[j], fj.mont_mul(beta, sigma[j])), gam)
+            )
+        perm = fj.sub(fj.mont_mul(z8, fnum), fj.mont_mul(zw8, gden))
+        l1t = fj.mont_mul(fj.sub(z8, fj.one_mont((m8,))), l1)
+        alpha2 = fj.mont_sqr(alpha)
+        F = fj.add(
+            gate, fj.add(fj.mont_mul(alpha, perm), fj.mont_mul(alpha2, l1t))
+        )
+        return fj.mont_mul(F, izh)
+
     def _mm_flat(x, y):
         """Elementwise mont_mul on arbitrary [m,16] via the flat Pallas
         kernel (padded to a block multiple); scan-XLA off-TPU."""
@@ -602,15 +718,21 @@ def _kernels(n: int, mesh=None):
         return z_coeffs, _commit_in(tab, z_plain[None])
 
     @jax.jit
-    def round3_fused(tab, wire_ext, z_coeffs, pub_mont, sel_coset, sigma_coset,
-                     ks_x_coset, l1_coset, inv_zh_coset, alpha, beta, gamma,
-                     intt_tabs=None, cos8_fwd=None, cos8_inv=None):
-        t_chunks, t_plain, tail_ok = quotient_phase(
-            wire_ext, z_coeffs, pub_mont, sel_coset, sigma_coset, ks_x_coset,
-            l1_coset, inv_zh_coset, alpha, beta, gamma,
-            intt_tabs, cos8_fwd, cos8_inv,
+    def round3_fused(tab, wire_ext, z_coeffs, pub_mont, sel_rows, sigma_rows,
+                     ksx_rows, l1_rows, izh_rows, alpha, beta, gamma,
+                     rowc, intt_tabs=None, fwd_n=None):
+        t_chunks, t_plain, tail_ok = quotient_phase_rows(
+            wire_ext, z_coeffs, pub_mont, sel_rows, sigma_rows, ksx_rows,
+            l1_rows, izh_rows, alpha, beta, gamma, rowc,
+            intt_tabs, fwd_n,
         )
         return t_chunks, tail_ok, _commit_in(tab, t_plain)
+
+    @jax.jit
+    def to_rows_tables(sel, sigma, ksx, l1, izh):
+        """One-time natural->row-major conversion of the pk coset tables."""
+        return (_to_rows(sel), _to_rows(sigma), _to_rows(ksx),
+                _to_rows(l1), _to_rows(izh))
 
     @jax.jit
     def round5_fused(tab, sel_coeffs, z_coeffs, sigma_coeffs, t_chunks,
@@ -642,6 +764,8 @@ def _kernels(n: int, mesh=None):
         gather_phase=gather_phase,
         wires_phase=wires_phase, z_phase=z_phase,
         quotient_phase=quotient_phase, evals_phase=evals_phase,
+        quotient_phase_rows=quotient_phase_rows,
+        to_rows_tables=to_rows_tables,
         lincomb=lincomb, open_phase=open_phase,
         round1_fused=round1_fused, round2_fused=round2_fused,
         round3_fused=round3_fused, round5_fused=round5_fused,
@@ -882,11 +1006,17 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     # round 3 — quotient
     pub_mont = jnp.asarray(ints_to_limbs([v % p for v in pub_inputs], FR))
     if fused_rounds:
+        rows_tabs = getattr(pk, "_row_tables", None)
+        if rows_tabs is None:
+            rows_tabs = K.to_rows_tables(
+                pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset,
+                pk.inv_zh_coset,
+            )
+            pk._row_tables = rows_tabs
         t_chunks, tail_ok, c3 = K.round3_fused(
-            tab, wire_ext, z_coeffs, pub_mont,
-            pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset,
-            pk.inv_zh_coset, _mont(alpha), _mont(beta), _mont(gamma),
-            mxu["intt_n"], mxu["cos8_fwd"], mxu["cos8_inv"],
+            tab, wire_ext, z_coeffs, pub_mont, *rows_tabs,
+            _mont(alpha), _mont(beta), _mont(gamma),
+            _row_consts_dev(n), mxu["intt_n"], mxu["fwd_n"],
         )
         t_comms = msg_mod.points_from_batch_result(c3)
     else:

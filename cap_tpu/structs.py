@@ -446,8 +446,16 @@ class RecordOpening:
         ]
 
     def derive_record_commitment(self) -> int:
-        """The 12-element Rescue commitment (structs.rs:1035-1053)."""
-        return _record_comm.commit(self.commitment_inputs(), self.blind.value)
+        """The 12-element Rescue commitment (structs.rs:1035-1053).
+
+        Cached per instance (frozen dataclass, so via object.__setattr__):
+        the builder computes it for the Merkle push and the proving path
+        recomputes it in from_witness — 5 Rescue permutations each."""
+        cached = getattr(self, "_rc_cache", None)
+        if cached is None:
+            cached = _record_comm.commit(self.commitment_inputs(), self.blind.value)
+            object.__setattr__(self, "_rc_cache", cached)
+        return cached
 
     def to_bytes(self) -> bytes:
         """Fixed binary layout (no pickling — memo payloads are untrusted)."""

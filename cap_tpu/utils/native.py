@@ -75,6 +75,16 @@ def _init_lib() -> bool:
         (ctypes.c_uint64 * len(rk_flat))(*rk_flat),
         U64_4(*ainv),
     )
+    # key-injection vectors for the keyed PRP / counter-mode stream
+    # (older .so builds without the symbol: Python fallback stays)
+    if hasattr(lib, "cap_rescue_set_keyinj"):
+        inj_flat = []
+        for r_ in range(25):
+            for i in range(4):
+                inj_flat.extend(mont(pr.key_inj[r_][i]))
+        lib.cap_rescue_set_keyinj(
+            (ctypes.c_uint64 * len(inj_flat))(*inj_flat)
+        )
     from cap_tpu.crypto.jubjub import COEFF_A, COEFF_D
 
     lib.cap_te_init(U64_4(*mont(COEFF_A)), U64_4(*mont(COEFF_D)))
@@ -358,3 +368,30 @@ def pairing_check(pairs) -> bool | None:
             for k in range(4):
                 g2[16 * i + 4 * j + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
     return bool(_lib.cap_pairing_check(g1, g2, skip, ctypes.c_int(n)))
+
+
+def rescue_counter_stream(key4, nblocks: int) -> list | None:
+    """Native counter-mode key stream (spec Alg 6): returns nblocks*4 Fr
+    ints (block i = RescueWithRoundKeys([i,0,0,0], KeyScheduling(key4))),
+    or None when the library / key-injection table is unavailable."""
+    if not HAVE_NATIVE or not hasattr(_lib, "cap_rescue_counter_stream"):
+        return None
+    kb = (ctypes.c_uint64 * 16)()
+    for i, v in enumerate(key4):
+        m = (v % FR.p) * _R256_FR % FR.p
+        for k in range(4):
+            kb[4 * i + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    nb = (ctypes.c_uint64 * (4 * nblocks))()
+    for b in range(nblocks):
+        m = b * _R256_FR % FR.p
+        for k in range(4):
+            nb[4 * b + k] = (m >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    out = (ctypes.c_uint64 * (16 * nblocks))()
+    rc = _lib.cap_rescue_counter_stream(kb, nb, ctypes.c_int(nblocks), out)
+    if rc != 0:
+        return None
+    res = []
+    for idx in range(4 * nblocks):
+        v = sum(int(out[4 * idx + k]) << (64 * k) for k in range(4))
+        res.append(v * _RINV_FR % FR.p)
+    return res

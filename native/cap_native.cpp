@@ -175,14 +175,31 @@ static void f_inv_mont(const Field& F, const u64* a, u64* out) {
 }
 
 static void f_pow(const Field& F, const u64* base, const u64* e, u64* out) {
-    u64 acc[4], b[4];
+    // 4-bit windowed exponentiation, MSB-first, skipping leading zeros:
+    // ~254 squarings + ~63 window muls (vs 256 sqr + ~127 mul bit-serial)
+    int top = 3;
+    while (top >= 0 && e[top] == 0) --top;
+    if (top < 0) { memcpy(out, F.one, 32); return; }
+    u64 tbl[16][4];
+    memcpy(tbl[0], F.one, 32);
+    memcpy(tbl[1], base, 32);
+    for (int i = 2; i < 16; ++i) f_mul(F, tbl[i - 1], base, tbl[i]);
+    u64 acc[4];
     memcpy(acc, F.one, 32);
-    memcpy(b, base, 32);
-    for (int limb = 0; limb < 4; ++limb) {
-        u64 bits = e[limb];
-        for (int k = 0; k < 64; ++k) {
-            if ((bits >> k) & 1) f_mul(F, acc, b, acc);
-            f_mul(F, b, b, b);
+    int started = 0;
+    for (int limb = top; limb >= 0; --limb) {
+        for (int k = 60; k >= 0; k -= 4) {
+            unsigned w = (unsigned)((e[limb] >> k) & 0xF);
+            if (started) {
+                f_mul(F, acc, acc, acc);
+                f_mul(F, acc, acc, acc);
+                f_mul(F, acc, acc, acc);
+                f_mul(F, acc, acc, acc);
+            }
+            if (w) {
+                if (started) f_mul(F, acc, tbl[w], acc);
+                else { memcpy(acc, tbl[w], 32); started = 1; }
+            }
         }
     }
     memcpy(out, acc, 32);
@@ -279,6 +296,66 @@ void cap_rescue_trace(const u64* state_flat, u64* trace_out) {
         mds_key(sb, g_rk[2 * r + 2], st);
         for (int i = 0; i < 4; ++i) { memcpy(trace_out + 4 * w, st[i], 32); ++w; }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Keyed Rescue PRP + counter-mode key stream (spec Alg 2 / Alg 6)
+// ---------------------------------------------------------------------------
+
+static u64 g_keyinj[25][4][4];      // Montgomery key-injection vectors
+static int g_have_keyinj = 0;
+
+void cap_rescue_set_keyinj(const u64* inj) {
+    memcpy(g_keyinj, inj, sizeof(g_keyinj));
+    g_have_keyinj = 1;
+}
+
+// spec Alg 2 KeyScheduling: run the key vector through the alternating
+// schedule (inverse box on even half-rounds) with key-injection adds.
+static void key_scheduling(const u64 key[4][4], u64 rk[25][4][4]) {
+    u64 prev[4][4], t[4][4];
+    for (int i = 0; i < 4; ++i) f_add(g_fr, key[i], g_keyinj[0][i], prev[i]);
+    memcpy(rk[0], prev, sizeof(prev));
+    for (int i = 0; i < 24; ++i) {
+        if (i % 2 == 0) {
+            for (int k = 0; k < 4; ++k) f_pow(g_fr, prev[k], g_alpha_inv, t[k]);
+        } else {
+            for (int k = 0; k < 4; ++k) sbox5(prev[k], t[k]);
+        }
+        mds_key(t, g_keyinj[i + 1], prev);
+        memcpy(rk[i + 1], prev, sizeof(prev));
+    }
+}
+
+static void prp_with_keys(const u64 rk[25][4][4], u64 st[4][4]) {
+    u64 t[4][4];
+    for (int i = 0; i < 4; ++i) f_add(g_fr, st[i], rk[0][i], st[i]);
+    for (int r = 0; r < 12; ++r) {
+        for (int i = 0; i < 4; ++i) f_pow(g_fr, st[i], g_alpha_inv, t[i]);
+        mds_key(t, rk[2 * r + 1], st);
+        for (int i = 0; i < 4; ++i) sbox5(st[i], t[i]);
+        mds_key(t, rk[2 * r + 2], st);
+    }
+}
+
+// key4: 4x4 Montgomery; nonces: nblocks x 4 Montgomery (the [i,0,0,0]
+// block inputs pre-converted by the caller); out: nblocks x 4 x 4
+// Montgomery key-stream values.  Returns 0, or 1 when no key-injection
+// table was installed.
+int cap_rescue_counter_stream(const u64* key4, const u64* nonces,
+                              int nblocks, u64* out) {
+    if (!g_have_keyinj) return 1;
+    u64 key[4][4], rk[25][4][4];
+    memcpy(key, key4, sizeof(key));
+    key_scheduling(key, rk);
+    for (int b = 0; b < nblocks; ++b) {
+        u64 st[4][4];
+        memcpy(st[0], nonces + 4 * b, 32);
+        memset(st[1], 0, 32 * 3);
+        prp_with_keys(rk, st);
+        memcpy(out + 16 * b, st, 128);
+    }
+    return 0;
 }
 
 // ---------------------------------------------------------------------------

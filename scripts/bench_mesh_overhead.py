@@ -57,10 +57,16 @@ def prove_once(pk, c, pubs, rng):
 
 
 def main():
-    log2_n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    log2_n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    from cap_tpu.ops import msm_signed as ms
     from cap_tpu.parallel import mesh as pm
     from cap_tpu.plonk import prover, verifier
     from cap_tpu.plonk.srs import universal_setup
+
+    # small-domain CPU runs: shrink the MSM chunk so the signed tables stay
+    # tiny (the mesh tests do the same); n=256 reuses their cached compiles
+    ms.WCHUNK = 128
+    os.environ.setdefault("CAP_MSM_TABLE_DISK", "0")
 
     rng = test_rng()
     c = build_circuit(log2_n)

@@ -96,18 +96,22 @@ def main():
     sc4 = jnp.stack([rnd(1)[0]] * 4)
 
     @jax.jit
-    def quot_eval(ev8):
+    def quot_eval(ev8, sel, sig, ksx, l1, izh):
+        # tables as ARGUMENTS: closure-embedded device arrays exceed the
+        # axon remote-compile payload limit (HTTP 413)
         w8 = ev8[:5]
         z8 = ev8[5]
         pi8 = ev8[6]
         zw8 = jnp.roll(z8, -8, axis=0)
         return phk.quotient_eval_pallas(
-            w8, z8, zw8, pi8, pk.sel_coset, pk.sigma_coset, pk.ks_x_coset,
-            pk.l1_coset, pk.inv_zh_coset, sc4, fj.FR_CTX.one_mont_np,
+            w8, z8, zw8, pi8, sel, sig, ksx, l1, izh, sc4,
+            fj.FR_CTX.one_mont_np,
         )
 
-    t8 = quot_eval(ev8)
-    timeit("quotient eval (pallas, 2^18 lanes)", lambda: quot_eval(ev8))
+    targs = (pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset,
+             pk.inv_zh_coset)
+    t8 = quot_eval(ev8, *targs)
+    timeit("quotient eval (pallas, 2^18 lanes)", lambda: quot_eval(ev8, *targs))
 
     from cap_tpu.ops.ntt import coset_intt
 

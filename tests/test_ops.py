@@ -298,3 +298,96 @@ class TestFusedDoubleProduct:
             ex, ey = expect[k]
             zi = pow(gz, -1, FQ.p)
             assert (gx * zi % FQ.p, gy * zi % FQ.p) == (ex, ey)
+
+
+class TestCosetRows:
+    def test_row_decomposition_matches_big_coset_ntt(self):
+        """coset_ntt_rows == the 8n coset NTT (row-major = natural.reshape(n,8).T
+        up to the w8 choice), and coset_intt_rows inverts it exactly."""
+        import random
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cap_tpu.fields.host import FR, NLIMBS
+        from cap_tpu.ops import ntt as nt
+        from cap_tpu.ops.limbs import ints_to_limbs, limbs_to_ints
+
+        rng = random.Random(21)
+        n = 64
+        dom = nt.get_domain(n)
+        g = FR.multiplicative_generator()
+        rowc_np = nt.coset_row_consts(n, g)
+        rowc = {k: jnp.asarray(v) for k, v in rowc_np.items()}
+        m = n + 3
+        coeffs_i = [rng.randrange(FR.p) for _ in range(m)]
+        c = jnp.asarray(ints_to_limbs(coeffs_i, FR))
+        rows = nt.coset_ntt_rows(c, dom, rowc)
+        # ground truth: evaluate the polynomial at each row point on host
+        p = FR.p
+        w8 = FR.root_of_unity(8 * n)
+        wn = dom.omega
+        got = limbs_to_ints(np.asarray(rows).reshape(8 * n, NLIMBS), FR)
+        for r in range(2):          # spot-check 2 rows x 4 positions
+            for j in (0, 1, 5, n - 1):
+                x = g * pow(w8, r, p) % p * pow(wn, j, p) % p
+                want = 0
+                for cc in reversed(coeffs_i):
+                    want = (want * x + cc) % p
+                assert got[r * n + j] == want
+        # inverse roundtrip: coefficients (zero-padded to 8n) come back
+        back = nt.coset_intt_rows(rows, dom, rowc)
+        back_i = limbs_to_ints(np.asarray(back), FR)
+        assert back_i[:m] == coeffs_i
+        assert all(v == 0 for v in back_i[m:])
+
+    def test_quotient_rows_matches_big_coset_path(self):
+        """quotient_phase_rows (8-row scheme) == quotient_phase (8n coset)
+        on a real preprocessed key with arbitrary wire/z inputs."""
+        import os
+        import random
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        os.environ.setdefault("CAP_MSM", "host")
+        from cap_tpu.fields.host import FR, NLIMBS
+        from cap_tpu.ops.limbs import ints_to_limbs
+        from cap_tpu.plonk import prover as pv
+        from cap_tpu.plonk.circuit import PlonkCircuit
+        from cap_tpu.plonk.srs import universal_setup
+        from cap_tpu.utils.rng import test_rng
+
+        rng = test_rng()
+        rnd = random.Random(5)
+        c = PlonkCircuit()
+        x = c.load(3)
+        for i in range(40):
+            x = c.lc_with_constant([c.mul(x, x), x, c.one, c.one], [1, 1, 0, 0], i)
+        c.set_variable_public(x)
+        fin = c.finalize_for_arithmetization()
+        srs = universal_setup(fin.n + 2, rng)
+        pk, _vk = pv.preprocess(srs, c)
+        n = pk.n
+        K = pv._kernels(n)
+        rowc = pv._row_consts_dev(n)
+        mk = lambda m: jnp.asarray(
+            ints_to_limbs([rnd.randrange(FR.p) for _ in range(m)], FR)
+        )
+        wire_ext = jnp.stack([mk(n + 2) for _ in range(5)])
+        z_coeffs = mk(n + 3)
+        pub = mk(1)
+        sc = lambda: mk(1)[0]
+        a, b, g = sc(), sc(), sc()
+        ch_old, plain_old, _ = K.quotient_phase(
+            wire_ext, z_coeffs, pub, pk.sel_coset, pk.sigma_coset,
+            pk.ks_x_coset, pk.l1_coset, pk.inv_zh_coset, a, b, g,
+        )
+        rows_tabs = K.to_rows_tables(
+            pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset,
+            pk.inv_zh_coset,
+        )
+        ch_new, plain_new, _ = K.quotient_phase_rows(
+            wire_ext, z_coeffs, pub, *rows_tabs, a, b, g, rowc,
+        )
+        assert np.array_equal(np.asarray(plain_old), np.asarray(plain_new))
