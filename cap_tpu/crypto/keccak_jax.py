@@ -3,7 +3,7 @@
 The round-by-round prover pays a ~28 ms host sync per transcript round
 (commit points must reach the host to be hashed).  Hashing ON DEVICE keeps
 the whole 5-round TurboPlonk prove inside one XLA program (see
-plonk/prover_fused.py); this module is the Keccak-f[1600] permutation and
+plonk/transcript_device.py); this module is the Keccak-f[1600] permutation and
 the fixed-padding Keccak-256 sponge over **u32 word streams**.
 
 Word streams: the transcript layout is word-aligned by construction

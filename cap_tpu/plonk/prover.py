@@ -905,29 +905,9 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     ext_msg: extra transcript binding (jf's `Option<ext_msg>` hook).
     CAP_PROVE_TIMING=1 prints a per-stage wall-clock breakdown.
 
-    CAP_FUSED_PROVE=1 routes single-device proves through the fused
-    single-program prover (prover_fused.py: all 5 rounds + on-device Keccak
-    Fiat–Shamir in ONE jitted XLA call, byte-identical output).  It is
-    OPT-IN: measured end-to-end it is slower than this per-round path on a
-    v5e (1.96 s vs 1.52 s at 2^15 — the single program needs the narrower
-    c=10 MSM windows to fit HBM next to the fused program's live set, and
-    that costs more than the ~120 ms of host round trips it saves), and on
-    CPU its XLA compile is prohibitively slow (~20 min for a depth-2
-    circuit).  Kept as the building block for multi-proof pipelining, where
-    whole-prove programs can overlap without host scheduling.
     """
     import os
     import time as _time
-
-    if (
-        os.environ.get("CAP_FUSED_PROVE", "0") == "1"
-        and os.environ.get("CAP_TRANSCRIPT", "solidity") == "v2w"  # device twin is v2w-only
-        and _prover_mesh() is None
-        and os.environ.get("CAP_PROVE_TIMING", "0") != "1"
-    ):
-        from cap_tpu.plonk.prover_fused import prove_fused
-
-        return prove_fused(rng, pk, witness_values, pub_inputs, ext_msg=ext_msg)
 
     timing = os.environ.get("CAP_PROVE_TIMING", "0") == "1"
     _t = [_time.time()]

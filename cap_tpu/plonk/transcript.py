@@ -11,7 +11,7 @@ tag || len(label) || label)` with tags 1/2 expanded to 48 bytes (reduced
 mod r with negligible bias) and tag 3 evolving the state.
 
 Every field is **word-aligned** (u32 lengths; label/data zero-padded to
-4-byte multiples): the device transcript twin (plonk/prover_fused.py +
+4-byte multiples): the device transcript twin (plonk/transcript_device.py +
 crypto/keccak_jax.py) hashes u32 word streams inside the jitted prove
 program, and byte-for-byte equality between the two is what lets a fused
 device prove verify against this host transcript

@@ -1,7 +1,7 @@
 """Device Keccak + device transcript + fused prover vs their host twins.
 
 The fused prover's whole premise is byte-equality between the in-program
-transcript (crypto/keccak_jax.py, plonk/prover_fused.py) and the host
+transcript (crypto/keccak_jax.py, plonk/transcript_device.py) and the host
 transcript (plonk/transcript.py): same appends -> same challenges ->
 byte-identical proofs for the same rng stream.
 """
@@ -34,7 +34,7 @@ def test_keccak256_words_matches_host(nbytes):
 
 
 def test_device_transcript_matches_host():
-    from cap_tpu.plonk.prover_fused import DeviceTranscript, _w
+    from cap_tpu.plonk.transcript_device import DeviceTranscript, _w
     from cap_tpu.plonk.transcript import Transcript
 
     host = Transcript()
@@ -65,45 +65,3 @@ def test_device_transcript_matches_host():
     for dev_m, host_v in ((d1, c1), (d2, c2), (d3, c3)):
         got = limbs_to_int(np.asarray(dev_m)) * r_inv % FR.p
         assert got == host_v
-
-
-@pytest.mark.skipif(
-    os.environ.get("CAP_TPU_RUN_SLOW") != "1",
-    reason="whole-prove XLA program compiles in ~20 min on CPU; the cheap "
-    "transcript-twin equality above is the fast-suite guard — run the full "
-    "byte-equality with CAP_TPU_RUN_SLOW=1 on the TPU",
-)
-def test_fused_prove_identical_to_classic():
-    """Same rng stream -> the fused single-program prove must produce a
-    byte-identical proof to the round-by-round prover, and verify."""
-    from cap_tpu.plonk import prover, prover_fused, verifier
-    from cap_tpu.plonk import srs as srs_mod
-    from cap_tpu.plonk.circuit import PlonkCircuit
-    from cap_tpu.utils.rng import test_rng
-
-    c = PlonkCircuit()
-    x = c.load(11)
-    for i in range(24):
-        x5 = c.mul(c.mul(c.mul(x, x), c.mul(x, x)), x)
-        x = c.lc_with_constant([x5, x, c.one, c.one], [1, 1, 0, 0], i)
-    c.set_variable_public(x)
-    fin = c.finalize_for_arithmetization()
-    srs = srs_mod.universal_setup(fin.n + 2, test_rng())
-    pk, vk = prover.preprocess(srs, c)
-
-    proof_classic = prover.prove(test_rng(), pk, c.witness_values, c.public_input(),
-                                 ext_msg=b"bind-me")
-    proof_fused = prover_fused.prove_fused(
-        test_rng(), pk, c.witness_values, c.public_input(), ext_msg=b"bind-me"
-    )
-    assert proof_fused.wire_comms == proof_classic.wire_comms
-    assert proof_fused.z_comm == proof_classic.z_comm
-    assert proof_fused.t_comms == proof_classic.t_comms
-    assert proof_fused.wire_evals == proof_classic.wire_evals
-    assert proof_fused.sigma_evals == proof_classic.sigma_evals
-    assert proof_fused.z_omega_eval == proof_classic.z_omega_eval
-    assert proof_fused.w_zeta == proof_classic.w_zeta
-    assert proof_fused.w_zeta_omega == proof_classic.w_zeta_omega
-    assert verifier.verify(vk, c.public_input(), proof_fused, ext_msg=b"bind-me") in (
-        True, None,
-    )
