@@ -84,11 +84,12 @@ def _batch_inverse(x, ctx):
     from cap_tpu.ops import pallas_field as pfl
 
     m = x.shape[0]
-    mul = None
     if pfl.use_pallas() and m % pfl.BLK == 0:
-        mul = lambda a, b: pfl.mont_mul_pallas(a, b, ctx)
-    pref = fj.prefix_prod(x, ctx, mul=mul)          # prod x[:i+1]
-    suf = fj.suffix_prod(x, ctx, mul=mul)           # prod x[i:]
+        pref = pfl.prefix_prod_fused(x, ctx)        # prod x[:i+1]
+        suf = pfl.suffix_prod_fused(x, ctx)         # prod x[i:]
+    else:
+        pref = fj.prefix_prod(x, ctx)
+        suf = fj.suffix_prod(x, ctx)
     total_inv = fj.inv(pref[-1:], ctx)
     prev = jnp.concatenate([fj.one_mont((1,), ctx), pref[:-1]], axis=0)
     nxt = jnp.concatenate([suf[1:], fj.one_mont((1,), ctx)], axis=0)

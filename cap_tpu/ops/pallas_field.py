@@ -417,6 +417,105 @@ def horner_fold_pallas(t_win, nwin: int, wbits: int):
     return tuple(out)
 
 
+# ---------------------------------------------------------------------------
+# fused prefix product (grand-product ladder, round-4 lever 3)
+# ---------------------------------------------------------------------------
+
+
+def _lane_prefix_kernel(x_ref, o_ref, carry_ref, *, ctx_name, blk):
+    """Per-lane inclusive prefix product along the sublane axis with a
+    cross-grid-step running-product carry.
+
+    Block [blk, 16, 128]: lane c is an independent run; rows are consecutive
+    elements of that run.  log2(blk) in-VMEM ladder steps + one carry
+    multiply replace log2(n) full-array HBM-round-trip multiplies."""
+    ctx = _ctx_by_name(ctx_name)
+    p_limbs, _, n0 = _fc(ctx)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for j in range(NLIMBS):
+            carry_ref[j, :] = jnp.full((128,), ctx.one_mont_np[j], jnp.uint32)
+
+    cols = [x_ref[:, j, :] for j in range(NLIMBS)]
+    s = 1
+    while s < blk:
+        shifted = [
+            jnp.concatenate(
+                [jnp.full((s, 128), ctx.one_mont_np[j], jnp.uint32),
+                 cols[j][:-s]],
+                axis=0,
+            )
+            for j in range(NLIMBS)
+        ]
+        cols = lk.mont_mul_full(cols, shifted, p_limbs, n0)
+        s <<= 1
+    carry = [carry_ref[j, :][None, :] for j in range(NLIMBS)]  # [1,128] bcast
+    cols = lk.mont_mul_full(cols, carry, p_limbs, n0)
+    for j in range(NLIMBS):
+        o_ref[:, j, :] = cols[j]
+        carry_ref[j, :] = cols[j][blk - 1, :]
+
+
+def _lane_bcast_mul_kernel(x_ref, f_ref, o_ref, *, ctx_name):
+    """out[r, :, c] = x[r, :, c] * f[:, c] (per-lane constant factor)."""
+    p_limbs, _, n0 = _fc(_ctx_by_name(ctx_name))
+    cols = [x_ref[:, j, :] for j in range(NLIMBS)]
+    f = [f_ref[j, :][None, :] for j in range(NLIMBS)]
+    _store_t(o_ref, lk.mont_mul_full(cols, f, p_limbs, n0))
+
+
+def prefix_prod_fused(x, ctx=None):
+    """Inclusive prefix product along axis 0 of a [n, 16] Montgomery array.
+
+    Two Pallas kernels replace the 15-launch Hillis–Steele shift ladder
+    (field_jax.prefix_prod): elements are laid out lane-major as 128
+    independent runs of n/128 rows, kernel 1 prefix-multiplies each run
+    (in-VMEM ladder + sequential-grid carry), a 7-step ladder on the 128
+    run totals builds per-lane offsets host^Wdevice-side in XLA, and
+    kernel 2 folds the offsets in.  ~log2(B)+2 multiplies/element vs
+    log2(n), and 2 HBM round trips vs 15.  Requires n % 1024 == 0."""
+    from cap_tpu.ops import field_jax as fj
+
+    ctx = ctx or fj.FR_CTX
+    n = x.shape[0]
+    if not use_pallas() or n % 1024 != 0:
+        return fj.prefix_prod(x, ctx)
+    rows = n // 128
+    blk = min(32, rows)
+    t = x.reshape(128, rows, NLIMBS).transpose(1, 2, 0)  # [R,16,128]
+    spec = pl.BlockSpec((blk, NLIMBS, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    pref = pl.pallas_call(
+        partial(_lane_prefix_kernel, ctx_name=ctx.name, blk=blk),
+        grid=(rows // blk,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, NLIMBS, 128), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((NLIMBS, 128), jnp.uint32)],
+    )(t)
+    totals_em = pref[-1].transpose(1, 0)                  # [128,16]
+    offs_em = jnp.concatenate(
+        [fj.one_mont((1,), ctx), fj.prefix_prod(totals_em, ctx)[:-1]], axis=0
+    )
+    fspec = pl.BlockSpec((NLIMBS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_lane_bcast_mul_kernel, ctx_name=ctx.name),
+        grid=(rows // blk,),
+        in_specs=[spec, fspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, NLIMBS, 128), jnp.uint32),
+    )(pref, offs_em.transpose(1, 0))
+    return out.transpose(2, 0, 1).reshape(n, NLIMBS)
+
+
+def suffix_prod_fused(x, ctx=None):
+    """Inclusive suffix product along axis 0 (reverse of prefix_prod_fused)."""
+    return jnp.flip(prefix_prod_fused(jnp.flip(x, 0), ctx), 0)
+
+
 def ec_add_mixed_pallas(acc, g_affine, mask):
     """acc: (x,y,z) [N,16] projective; g_affine: (x,y) [N,16]; mask [N] uint32
     (0 -> keep acc).  Returns new (x,y,z) in [N,16] layout (redundant)."""

@@ -38,6 +38,35 @@ class TestFieldJax:
             pow(x, -1, FR.p) for x in xs
         ]
 
+    def test_prefix_suffix_prod_vs_host(self):
+        """Both sweep implementations (shift ladder and the fused lane-major
+        entry point, which falls back to the ladder off-TPU; the Pallas
+        kernel pair is equality-checked on the chip by
+        scripts/probe_zfuse.py) against naive host products."""
+        from cap_tpu.ops import pallas_field as pfl
+
+        rng = test_rng()
+        xs = [FR.rand(rng) for _ in range(1024)]
+        X = jnp.asarray(ints_to_limbs(xs, FR))  # Montgomery rep of xs*R
+        want_pref, acc = [], 1
+        for x in xs:
+            acc = acc * x % FR.p
+            want_pref.append(acc)
+        want_suf, acc = [0] * len(xs), 1
+        for i in range(len(xs) - 1, -1, -1):
+            acc = acc * xs[i] % FR.p
+            want_suf[i] = acc
+        # ints_to_limbs(x) stores x*R (Montgomery); a k-fold mont product of
+        # Montgomery values is (prod x)*R — limbs_to_ints divides one R out
+        for fn, want in (
+            (fj.prefix_prod, want_pref),
+            (fj.suffix_prod, want_suf),
+            (pfl.prefix_prod_fused, want_pref),
+            (pfl.suffix_prod_fused, want_suf),
+        ):
+            got = limbs_to_ints(np.asarray(jax.jit(fn)(X)), FR)
+            assert got == want
+
     def test_mont_roundtrip_and_sum(self):
         rng = test_rng()
         xs = [FR.rand(rng) for _ in range(7)]
