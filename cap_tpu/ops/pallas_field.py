@@ -475,15 +475,21 @@ def prefix_prod_fused(x, ctx=None):
     (in-VMEM ladder + sequential-grid carry), a 7-step ladder on the 128
     run totals builds per-lane offsets host^Wdevice-side in XLA, and
     kernel 2 folds the offsets in.  ~log2(B)+2 multiplies/element vs
-    log2(n), and 2 HBM round trips vs 15.  Requires n % 1024 == 0."""
+    log2(n), and 2 HBM round trips vs 15.
+
+    Alignment: rows = n/128 must be a multiple of the block height
+    blk = min(32, rows) — i.e. n % 1024 == 0 AND (rows < 32 or
+    rows % 32 == 0).  n = 5120 (rows = 40) would satisfy the old
+    `n % 1024 == 0` check but leave rows beyond grid*blk unwritten
+    (ADVICE r4 medium); such shapes fall back to the shift ladder."""
     from cap_tpu.ops import field_jax as fj
 
     ctx = ctx or fj.FR_CTX
     n = x.shape[0]
-    if not use_pallas() or n % 1024 != 0:
-        return fj.prefix_prod(x, ctx)
     rows = n // 128
     blk = min(32, rows)
+    if not use_pallas() or n % 1024 != 0 or rows % blk != 0:
+        return fj.prefix_prod(x, ctx)
     t = x.reshape(128, rows, NLIMBS).transpose(1, 2, 0)  # [R,16,128]
     spec = pl.BlockSpec((blk, NLIMBS, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -72,6 +72,12 @@ _msm_signed_jit = jax.jit(msg_mod.msm_signed_windows_device)
 _msm_commit_jit = jax.jit(msg_mod.msm_signed_commit_device)
 
 
+def _msm_affine_commit_jit(tab, padded):
+    from cap_tpu.ops import msm_affine as aff_mod
+
+    return jax.jit(aff_mod.msm_affine_commit_device)(tab, padded)
+
+
 def _window_table(srs, m: int):
     """Lazily build (and cache on the srs) the digit table covering >= m."""
     mp = ((m + msm_mod.WCHUNK - 1) // msm_mod.WCHUNK) * msm_mod.WCHUNK
@@ -246,7 +252,7 @@ def commit_batch(srs, coeffs_plain_batch) -> list:
 
     k, m, _ = coeffs_plain_batch.shape
     mode = os.environ.get("CAP_MSM", "signed")
-    if mode == "signed":
+    if mode in ("signed", "affine"):
         mesh = _prover_mesh()
         if mesh is not None and jax.default_backend() == "cpu":
             # virtual-CPU mesh: per-device shards only, host combine —
@@ -314,6 +320,11 @@ def commit_batch_device(srs, coeffs_plain_batch):
         return _mesh_commit_fn(mesh)(tab, padded)
     tab = signed_table(srs, m)
     padded = srs_mod._pad_coeffs_batch(coeffs_plain_batch, tab.shape[1])
+    import os
+
+    if (os.environ.get("CAP_MSM", "signed") == "affine"
+            and jax.default_backend() == "tpu"):
+        return _msm_affine_commit_jit(tab, padded)
     return _msm_commit_jit(tab, padded)
 
 
@@ -323,7 +334,7 @@ def commit_batch_device(srs, coeffs_plain_batch):
 
 
 @lru_cache(maxsize=None)
-def _kernels(n: int, mesh=None):
+def _kernels(n: int, mesh=None, engine: str = "signed"):
     dom = get_domain(n)
     dom8 = get_domain(8 * n)
     g = COSET_SHIFT_FOR(n)
@@ -702,6 +713,7 @@ def _kernels(n: int, mesh=None):
     # pure overhead.
 
     def _commit_in(tab, plain_batch):
+        from cap_tpu.ops import msm_affine as aff
         from cap_tpu.ops import msm_signed as msg
 
         k, m, _ = plain_batch.shape
@@ -709,6 +721,8 @@ def _kernels(n: int, mesh=None):
         padded = jnp.concatenate(
             [plain_batch, jnp.zeros((k, mp - m, NLIMBS), jnp.uint32)], axis=1
         )
+        if engine == "affine":
+            return aff.msm_affine_commit_device(tab, padded)
         return msg.msm_signed_commit_device(tab, padded)
 
     @jax.jit
@@ -926,15 +940,16 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             _t[0] = now
 
     n = pk.n
-    K = _kernels(n, _prover_mesh())
+    engine = os.environ.get("CAP_MSM", "signed")
+    K = _kernels(n, _prover_mesh(), engine)
     srs = pk.srs
     p = FR.p
 
-    # fused per-round programs: single device, signed MSM engine — one jit
-    # call (= one ~29 ms host sync) per Fiat-Shamir round instead of
-    # separate phase + commit dispatches
+    # fused per-round programs: single device, signed/affine MSM engine —
+    # one jit call (= one ~29 ms host sync) per Fiat-Shamir round instead
+    # of separate phase + commit dispatches
     fused_rounds = (
-        os.environ.get("CAP_MSM", "signed") == "signed"
+        engine in ("signed", "affine")
         and _prover_mesh() is None
         and jax.default_backend() != "cpu"
     )

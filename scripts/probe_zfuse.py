@@ -57,6 +57,28 @@ def main():
     ok_p = bool(jnp.all(pl_ == pf))
     ok_s = bool(jnp.all(sl == sf))
     print(f"prefix exact match: {ok_p}   suffix exact match: {ok_s}")
+
+    # FQ context: _batch_inverse (msm_signed.py) runs the fused kernels over
+    # FQ_CTX during signed-table builds — equality-check that field too
+    # (ADVICE r4 low: only FR was checked on chip before).
+    from cap_tpu.fields.host import FQ
+
+    xq = jnp.asarray(ints_to_limbs([FQ.rand(rng) for _ in range(4096)], FQ))
+    xq = jnp.tile(xq, (n // 4096, 1))
+
+    @jax.jit
+    def ladder_q(a):
+        return fj.prefix_prod(a, fj.FQ_CTX)
+
+    @jax.jit
+    def fused_q(a):
+        return pfl.prefix_prod_fused(a, fj.FQ_CTX)
+
+    ok_q = bool(jnp.all(jax.block_until_ready(ladder_q(xq))
+                        == jax.block_until_ready(fused_q(xq))))
+    print(f"FQ prefix exact match: {ok_q}")
+    if not ok_q:
+        raise SystemExit(1)
     if not (ok_p and ok_s):
         bad = int(jnp.argmax(jnp.any(pl_ != pf, axis=1)))
         print("first prefix mismatch row:", bad)
