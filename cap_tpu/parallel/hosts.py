@@ -59,6 +59,18 @@ def _worker_main(args) -> None:
              as shared-nothing DP work units (VERDICT r3 item 5)
     """
     os.environ.setdefault("CAP_MSM", "host")
+    if args.cpus:
+        # disjoint-cpuset pinning (VERDICT r4 item 8): each shard owns its
+        # cores, so per-shard time is constant-by-construction and pool
+        # scaling = hosts x per-shard rate instead of a contended blur
+        cpus = set()
+        for part in args.cpus.split(","):
+            if "-" in part:
+                lo, hi = part.split("-")
+                cpus.update(range(int(lo), int(hi) + 1))
+            else:
+                cpus.add(int(part))
+        os.sched_setaffinity(0, cpus)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -126,7 +138,8 @@ def _worker_main(args) -> None:
 
 
 def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
-                  rounds: int, fail_at, workload: str = "toy") -> tuple[subprocess.Popen, str]:
+                  rounds: int, fail_at, workload: str = "toy",
+                  cpus: str = "") -> tuple[subprocess.Popen, str]:
     out = os.path.join(td, f"host{host}_try{attempt}.json")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -137,6 +150,8 @@ def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
         "--workload", workload,
         "--out", out,
     ]
+    if cpus:
+        cmd += ["--cpus", cpus]
     if fail_at is not None:
         cmd += ["--fail-at", str(fail_at)]
     proc = subprocess.Popen(
@@ -146,10 +161,26 @@ def _launch_shard(td: str, host: int, attempt: int, proofs_per_host: int,
     return proc, out
 
 
+def _disjoint_cpusets(n_hosts: int, cores_per_host: int | None = None) -> list[str]:
+    """Split the machine's cpus into n disjoint ranges ("a-b" strings); a
+    host gets at least one cpu (sets repeat only when hosts > cpus).
+    `cores_per_host` fixes the width (for apples-to-apples per-shard times
+    across different host counts)."""
+    ncpu = os.cpu_count() or 1
+    per = cores_per_host or max(1, ncpu // n_hosts)
+    out = []
+    for h in range(n_hosts):
+        lo = (h * per) % ncpu
+        hi = min(lo + per - 1, ncpu - 1)
+        out.append(f"{lo}-{hi}" if hi > lo else str(lo))
+    return out
+
+
 def simulate_host_pool(
     n_hosts: int, proofs_per_host: int, *, rounds: int = 40,
     timeout: float = 900.0, retries: int = 0, inject_fail_at: dict | None = None,
-    workload: str = "toy",
+    workload: str = "toy", pin_cpus: bool = False,
+    cores_per_host: int | None = None,
 ) -> list[HostResult]:
     """Spawn `n_hosts` shared-nothing OS worker processes, each proving its
     own queue shard, and collect per-host reports.
@@ -161,6 +192,8 @@ def simulate_host_pool(
     later attempts run clean).
     """
     inject_fail_at = inject_fail_at or {}
+    cpusets = (_disjoint_cpusets(n_hosts, cores_per_host) if pin_cpus
+               else [""] * n_hosts)
     with tempfile.TemporaryDirectory() as td:
         pending = {h: 0 for h in range(n_hosts)}  # host -> attempt counter
         results: dict[int, HostResult] = {}
@@ -170,7 +203,7 @@ def simulate_host_pool(
                 fail_at = inject_fail_at.get(h) if attempt == 0 else None
                 procs[h] = _launch_shard(
                     td, h, attempt, proofs_per_host, rounds, fail_at,
-                    workload=workload,
+                    workload=workload, cpus=cpusets[h],
                 )
             next_pending = {}
             for h, (p, out) in procs.items():
@@ -225,6 +258,7 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=str, default="host-pool")
     ap.add_argument("--workload", type=str, default="toy", choices=["toy", "mint"])
     ap.add_argument("--fail-at", type=int, default=None)
+    ap.add_argument("--cpus", type=str, default="")
     ap.add_argument("--out", type=str, required=True)
     a = ap.parse_args()
     if not a.worker:

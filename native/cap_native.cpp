@@ -592,7 +592,15 @@ void cap_g1_msm_pippenger(const u64* pts, const u64* scalars, int n, int c,
                           u64* out) {
     const int windows = (254 + c - 1) / c;
     std::vector<Jac> wsums(windows);
-    unsigned hw = std::thread::hardware_concurrency();
+    // respect the process cpuset (multi-host pool workers pin themselves to
+    // disjoint cores — hardware_concurrency would oversubscribe the pin)
+    unsigned hw = 0;
+#ifdef __linux__
+    cpu_set_t cs;
+    if (sched_getaffinity(0, sizeof(cs), &cs) == 0)
+        hw = (unsigned)CPU_COUNT(&cs);
+#endif
+    if (!hw) hw = std::thread::hardware_concurrency();
     int nthreads = (int)(hw ? hw : 1);
     if (nthreads > windows) nthreads = windows;
     std::vector<std::thread> threads;
