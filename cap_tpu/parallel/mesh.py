@@ -160,20 +160,30 @@ def sharded_commit_host_points(mesh: Mesh, table, scalars_batch) -> list:
     outnumber cores and shard compute is long (observed 40 s timeout →
     abort at 8 devices on 4 cores), so the dryrun must not depend on
     cross-device collectives for correctness checks."""
-    from cap_tpu.crypto.bn254 import g1j_add, g1j_double, g1j_from_affine, g1j_to_affine
+    parts = np.asarray(
+        jax.jit(lambda t, s: sharded_commit_parts(mesh, t, s))(table, scalars_batch)
+    )  # [D, k, 26, 3, 16]
+    return combine_parts_host(parts, parts.shape[1])
+
+
+def combine_parts_host(parts_np, k: int) -> list:
+    """[D, k, 26, 3, 16] per-device window partials -> k host affine points
+    (bigint combine + Horner; the CPU-mesh path's collective-free tail)."""
+    from cap_tpu.crypto.bn254 import (
+        g1j_add, g1j_double, g1j_from_affine, g1j_to_affine,
+    )
     from cap_tpu.fields.host import FQ
     from cap_tpu.ops import msm_signed as ms
     from cap_tpu.ops.limbs import limbs_to_ints
 
-    d = mesh.shape["x"]
-    parts = np.asarray(
-        jax.jit(lambda t, s: sharded_commit_parts(mesh, t, s))(table, scalars_batch)
-    )  # [D, k, 26, 3, 16]
-    k = parts.shape[1]
-    flat = parts.reshape(-1, 3, parts.shape[-1])
+    d = parts_np.shape[0]
+    flat = parts_np.reshape(-1, 3, parts_np.shape[-1])
     xs = limbs_to_ints(flat[:, 0], FQ)
     ys = limbs_to_ints(flat[:, 1], FQ)
     zs = limbs_to_ints(flat[:, 2], FQ)
+    nz = [(i, z) for i, z in enumerate(zs) if z != 0]
+    zinvs = FQ.batch_inv([z for _, z in nz]) if nz else []
+    zmap = {i: zi for (i, _), zi in zip(nz, zinvs)}
     out = []
     for i in range(k):
         acc = (1, 1, 0)
@@ -183,7 +193,7 @@ def sharded_commit_host_points(mesh: Mesh, table, scalars_batch) -> list:
             for dev in range(d):
                 j = (dev * k + i) * ms.NUM_WINDOWS + w
                 if zs[j] != 0:
-                    zi = pow(zs[j], -1, FQ.p)
+                    zi = zmap[j]
                     acc = g1j_add(
                         acc,
                         g1j_from_affine((xs[j] * zi % FQ.p, ys[j] * zi % FQ.p)),

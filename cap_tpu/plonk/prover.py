@@ -780,6 +780,67 @@ def _kernels(n: int, mesh=None, engine: str = "signed"):
         w_om_c, w_om_plain = open_phase(srs_pad(z_coeffs, m_r), zw_m, zw_inv_m)
         return _commit_in(tab, jnp.stack([w_zeta_plain, w_om_plain]))
 
+    # ---- mesh-fused per-round programs (VERDICT r4 item 5): with a prover
+    # mesh installed, each Fiat-Shamir round is ONE jitted program — the
+    # phase compute plus the point-sharded window partials under shard_map —
+    # instead of separate phase and commit dispatches.  The cross-device
+    # combine stays on the host (bigint tree), which is both the
+    # XLA:CPU-safe path (virtual-mesh collectives hard-abort under device >
+    # core starvation) and a tiny [D, k, 26] transfer on real hardware.
+
+    def _commit_parts_in(tab, plain_batch):
+        from cap_tpu.parallel import mesh as pm
+
+        k, m, _ = plain_batch.shape
+        mp = tab.shape[1]
+        padded = jnp.concatenate(
+            [plain_batch, jnp.zeros((k, mp - m, NLIMBS), jnp.uint32)], axis=1
+        )
+        return pm.sharded_commit_parts(mesh, tab, padded)
+
+    @jax.jit
+    def round1_mesh(tab, wit_plain_u16, wire_idx, blinds):
+        wire_evals = gather_phase(wit_plain_u16, wire_idx)
+        wire_ext, wire_plain = wires_phase(wire_evals, blinds)
+        return wire_evals, wire_ext, _commit_parts_in(tab, wire_plain)
+
+    @jax.jit
+    def round2_mesh(tab, wire_evals, sigma_evals, ks_x, beta, gamma, blinds):
+        z_coeffs, z_plain = z_phase(wire_evals, sigma_evals, ks_x, beta,
+                                    gamma, blinds)
+        return z_coeffs, _commit_parts_in(tab, z_plain[None])
+
+    @jax.jit
+    def round3_mesh(tab, wire_ext, z_coeffs, pub_mont, sel_coset, sigma_coset,
+                    ksx_coset, l1_coset, izh_coset, alpha, beta, gamma):
+        t_chunks, t_plain, tail_ok = quotient_phase(
+            wire_ext, z_coeffs, pub_mont, sel_coset, sigma_coset, ksx_coset,
+            l1_coset, izh_coset, alpha, beta, gamma,
+        )
+        return t_chunks, tail_ok, _commit_parts_in(tab, t_plain)
+
+    @jax.jit
+    def round5_mesh(tab, sel_coeffs, z_coeffs, sigma_coeffs, t_chunks,
+                    wire_ext, r_scalars, v_pows, zeta_m, zeta_inv_m,
+                    zw_m, zw_inv_m):
+        m_r = n + 3
+        polys_r = jnp.concatenate([
+            jnp.stack([srs_pad(sel_coeffs[i], m_r) for i in range(13)]),
+            srs_pad(z_coeffs, m_r)[None],
+            srs_pad(sigma_coeffs[4], m_r)[None],
+            jnp.stack([srs_pad(t_chunks[i], m_r) for i in range(5)]),
+        ])
+        r_poly = lincomb(polys_r, r_scalars)
+        polys_q = jnp.concatenate([
+            r_poly[None],
+            jnp.stack([srs_pad(wire_ext[j], m_r) for j in range(5)]),
+            jnp.stack([srs_pad(sigma_coeffs[j], m_r) for j in range(4)]),
+        ])
+        q_poly = lincomb(polys_q, v_pows)
+        w_zeta_c, w_zeta_plain = open_phase(q_poly, zeta_m, zeta_inv_m)
+        w_om_c, w_om_plain = open_phase(srs_pad(z_coeffs, m_r), zw_m, zw_inv_m)
+        return _commit_parts_in(tab, jnp.stack([w_zeta_plain, w_om_plain]))
+
     return SimpleNamespace(
         dom=dom, dom8=dom8, g=g,
         gather_phase=gather_phase,
@@ -790,6 +851,8 @@ def _kernels(n: int, mesh=None, engine: str = "signed"):
         lincomb=lincomb, open_phase=open_phase,
         round1_fused=round1_fused, round2_fused=round2_fused,
         round3_fused=round3_fused, round5_fused=round5_fused,
+        round1_mesh=round1_mesh, round2_mesh=round2_mesh,
+        round3_mesh=round3_mesh, round5_mesh=round5_mesh,
     )
 
 
@@ -833,12 +896,28 @@ def preprocess_from_arrays(
     """
     if srs.max_degree < n + 2:
         raise ValueError(f"SRS degree {srs.max_degree} < required {n + 2}")
+    import os as _os
+    import time as _time
+
+    _pk_dbg = _os.environ.get("CAP_PK_TIMING") == "1"
+    _pk_t = [_time.time()]
+
+    def _pkmark(label, *vals):
+        if _pk_dbg:
+            if vals:
+                jax.block_until_ready(vals)
+            now = _time.time()
+            print(f"  [pkload] {label}: {now - _pk_t[0]:.1f}s", flush=True)
+            _pk_t[0] = now
+
     K = _kernels(n)
+    _pkmark("kernels")
     p = FR.p
 
     to_coeffs = jax.jit(jax.vmap(lambda e: intt(e, K.dom)))
     sel_coeffs = to_coeffs(sel_evals)
     sigma_coeffs = to_coeffs(sigma_evals)
+    _pkmark("to_coeffs", sel_coeffs, sigma_coeffs)
 
     # commitments (18 at once) unless supplied from a stored key
     if comms is None:
@@ -861,34 +940,55 @@ def preprocess_from_arrays(
     )
     sel_coset = pad8(sel_coeffs)
     sigma_coset = pad8(sigma_coeffs)
+    _pkmark("coset tables", sel_coset, sigma_coset)
 
-    # identity-permutation values k_j * x on H and on the coset
-    xs_host = K.dom.elements()
-    xs8_host = [pow(K.g, 1, p)]
-    w8 = K.dom8.omega
-    for _ in range(m8 - 1):
-        xs8_host.append(xs8_host[-1] * w8 % p)
+    # identity-permutation values k_j * x on H and on the coset, plus the
+    # coset Z_H^-1 and L1 tables — all derived ON DEVICE from a handful of
+    # scalars (round-5: the round-4 host version looped ~2M Python bigint
+    # muls + limb conversions + ~180 MB of tunnel uploads, dominating the
+    # stored-key load at 2^15; see VERDICT r4 item "warm-up")
     ks = wire_ks
-    ks_x = jnp.asarray(
-        np.stack([ints_to_limbs([k * x % p for x in xs_host], FR) for k in ks])
-    )
-    ks_x_coset = jnp.asarray(
-        np.stack([ints_to_limbs([k * x % p for x in xs8_host], FR) for k in ks])
-    )
-    coset_x = jnp.asarray(ints_to_limbs(xs8_host, FR))
-
-    # Z_H and L1 on the coset (Z_H is 8-periodic there)
     gn = pow(K.g, n, p)
     zeta8 = pow(K.dom8.omega, n, p)
     zh8 = [(gn * pow(zeta8, i, p) - 1) % p for i in range(8)]
     inv_zh8 = FR.batch_inv(zh8)
-    inv_zh_coset = jnp.asarray(ints_to_limbs(inv_zh8 * (m8 // 8), FR))
     n_inv = pow(n, -1, p)
-    dinvs = FR.batch_inv([(x - 1) % p for x in xs8_host])
-    l1_host = [
-        zh8[i % 8] * n_inv % p * dinvs[i] % p for i in range(m8)
-    ]
-    l1_coset = jnp.asarray(ints_to_limbs(l1_host, FR))
+
+    @jax.jit
+    def _derived_tables(omega_m, omega8g_first_m, omega8_m, ks_m,
+                        zh_ninv8_m, inv_zh8_m):
+        """(ks_x [5,n,16], ks_x_coset [5,8n,16], coset_x [8n,16],
+        l1_coset [8n,16], inv_zh_coset [8n,16]) from scalar seeds."""
+
+        def pows(first, step, length):
+            # geometric ladder: arr ++ arr * step^len(arr)
+            arr = first[None]
+            stepk = step[None]
+            while arr.shape[0] < length:
+                arr = jnp.concatenate([arr, fj.mont_mul(arr, stepk)], axis=0)
+                stepk = fj.mont_mul(stepk, stepk)
+            return arr[:length]
+
+        xs = pows(fj.one_mont((), ), omega_m, n)
+        xs8 = pows(omega8g_first_m, omega8_m, m8)
+        ks_x = jnp.stack([fj.mont_mul(k[None], xs) for k in ks_m])
+        ks_x8 = jnp.stack([fj.mont_mul(k[None], xs8) for k in ks_m])
+        den = fj.sub(xs8, fj.one_mont((m8,)))
+        from cap_tpu.ops import msm_signed as msg
+
+        dinv = msg._batch_inverse(den, fj.FR_CTX)
+        num = jnp.tile(zh_ninv8_m, (m8 // 8, 1))
+        l1 = fj.mont_mul(num, dinv)
+        izh = jnp.tile(inv_zh8_m, (m8 // 8, 1))
+        return ks_x, ks_x8, xs8, l1, izh
+
+    ks_x, ks_x_coset, coset_x, l1_coset, inv_zh_coset = _derived_tables(
+        _mont(K.dom.omega), _mont(K.g), _mont(K.dom8.omega),
+        _mont_many(ks),
+        _mont_many([z * n_inv % p for z in zh8]),
+        _mont_many(inv_zh8),
+    )
+    _pkmark("derived tables", ks_x, ks_x_coset, l1_coset)
 
     vk = VerifyingKey(
         n=n, num_pub=num_pub, wire_ks=list(ks),
@@ -948,12 +1048,24 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     # fused per-round programs: single device, signed/affine MSM engine —
     # one jit call (= one ~29 ms host sync) per Fiat-Shamir round instead
     # of separate phase + commit dispatches
+    mesh_obj = _prover_mesh()
     fused_rounds = (
         engine in ("signed", "affine")
-        and _prover_mesh() is None
+        and mesh_obj is None
         and jax.default_backend() != "cpu"
     )
-    tab = signed_table(srs, n + 3) if fused_rounds else None
+    # mesh-fused rounds (VERDICT r4 item 5): one program per FS round on
+    # the mesh too, window partials combined on the host
+    mesh_fused = mesh_obj is not None and engine in ("signed", "affine")
+    if fused_rounds:
+        tab = signed_table(srs, n + 3)
+    elif mesh_fused:
+        tab = signed_table(srs, n + 3,
+                           mult=mesh_obj.shape["x"] * msg_mod.WCHUNK)
+    else:
+        tab = None
+    if mesh_fused:
+        from cap_tpu.parallel import mesh as pm_mod
 
     transcript = new_transcript()
     transcript.begin_proof(pk.vk, pub_inputs, ext_msg)
@@ -977,6 +1089,11 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             tab, wit_u16, wire_idx, blinds1, mxu["intt_n"]
         )
         wire_comms = msg_mod.points_from_batch_result(c1)
+    elif mesh_fused:
+        wire_evals, wire_ext, c1 = K.round1_mesh(
+            tab, wit_u16, wire_idx, blinds1
+        )
+        wire_comms = pm_mod.combine_parts_host(np.asarray(c1), 5)
     else:
         wire_evals = K.gather_phase(wit_u16, wire_idx)
         wire_ext, wire_plain = K.wires_phase(wire_evals, blinds1, mxu["intt_n"])
@@ -995,6 +1112,12 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             _mont(beta), _mont(gamma), blinds_z, mxu["intt_n"],
         )
         z_comm = msg_mod.points_from_batch_result(c2)[0]
+    elif mesh_fused:
+        z_coeffs, c2 = K.round2_mesh(
+            tab, wire_evals, pk.sigma_evals_dev, pk.ks_x_dev,
+            _mont(beta), _mont(gamma), blinds_z,
+        )
+        z_comm = pm_mod.combine_parts_host(np.asarray(c2), 1)[0]
     else:
         z_coeffs, z_plain = K.z_phase(
             wire_evals, pk.sigma_evals_dev, pk.ks_x_dev, _mont(beta), _mont(gamma),
@@ -1021,6 +1144,14 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             _row_consts_dev(n), mxu["intt_n"], mxu["fwd_n"],
         )
         t_comms = msg_mod.points_from_batch_result(c3)
+    elif mesh_fused:
+        t_chunks, tail_ok, c3 = K.round3_mesh(
+            tab, wire_ext, z_coeffs, pub_mont,
+            pk.sel_coset, pk.sigma_coset, pk.ks_x_coset, pk.l1_coset,
+            pk.inv_zh_coset,
+            _mont(alpha), _mont(beta), _mont(gamma),
+        )
+        t_comms = pm_mod.combine_parts_host(np.asarray(c3), 5)
     else:
         t_chunks, t_plain, tail_ok = K.quotient_phase(
             wire_ext, z_coeffs, pub_mont,
@@ -1095,6 +1226,13 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             _mont(zeta), _mont(pow(zeta, -1, p)), _mont(zw), _mont(pow(zw, -1, p)),
         )
         w_comms = msg_mod.points_from_batch_result(c5)
+    elif mesh_fused:
+        c5 = K.round5_mesh(
+            tab, pk.sel_coeffs, z_coeffs, pk.sigma_coeffs, t_chunks, wire_ext,
+            _mont_many(r_scalars), _mont_many(v_pows),
+            _mont(zeta), _mont(pow(zeta, -1, p)), _mont(zw), _mont(pow(zw, -1, p)),
+        )
+        w_comms = pm_mod.combine_parts_host(np.asarray(c5), 2)
     else:
         polys = [srs_pad(pk.sel_coeffs[i], m_r) for i in range(13)]
         polys.append(srs_pad(z_coeffs, m_r))
