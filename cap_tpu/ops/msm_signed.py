@@ -42,7 +42,10 @@ WINDOW_BITS = int(_os.environ.get("CAP_MSM_C", "10"))
 NUM_WINDOWS = -(-254 // WINDOW_BITS)
 HALF = 1 << (WINDOW_BITS - 1)
 TABLE_ROWS = HALF + 1                  # |d| in [0, HALF]
-WCHUNK = 2048               # points per accumulation step
+# points per accumulation step; smaller chunks cut the pad-lane waste of
+# non-chunk-multiple SRS sizes (6% -> 3% at 2^15 with 1024) at the cost of
+# more chunk iterations and a taller table file namespace (mp changes)
+WCHUNK = int(_os.environ.get("CAP_MSM_WCHUNK", "2048"))
 
 
 def signed_digits_device(scalars):
@@ -90,7 +93,7 @@ def _batch_inverse(x, ctx):
     else:
         pref = fj.prefix_prod(x, ctx)
         suf = fj.suffix_prod(x, ctx)
-    total_inv = fj.inv(pref[-1:], ctx)
+    total_inv = pfl.inv_elem(pref[-1:], ctx)
     prev = jnp.concatenate([fj.one_mont((1,), ctx), pref[:-1]], axis=0)
     nxt = jnp.concatenate([suf[1:], fj.one_mont((1,), ctx)], axis=0)
     return fj.mont_mul(fj.mont_mul(prev, nxt, ctx), total_inv, ctx)

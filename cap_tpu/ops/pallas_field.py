@@ -522,6 +522,87 @@ def suffix_prod_fused(x, ctx=None):
     return jnp.flip(prefix_prod_fused(jnp.flip(x, 0), ctx), 0)
 
 
+# ---------------------------------------------------------------------------
+# in-kernel Fermat inversion (round 5)
+#
+# The scan-based fj.inv costs ~35 ms for ANY batch size on this runtime
+# (508 sequential 16-step lax.scan mont_muls at ~60 us each) — it sat inside
+# round 2's grand-product program (z_phase total inversion) and dominated
+# the batch-affine engine's per-chunk-step fixed cost.  One rolled-loop
+# Pallas kernel (2 block-muls per exponent bit, bit table in SMEM) does the
+# same in ~1.3 ms.
+# ---------------------------------------------------------------------------
+
+
+def _fermat_kernel(bits_ref, x_ref, o_ref, *, ctx_name, nbits):
+    from jax import lax
+
+    ctx = _ctx_by_name(ctx_name)
+    p_limbs, _, n0 = _fc(ctx)
+    x = _load_t(x_ref)
+    grp = x_ref.shape[0]
+    acc0 = [jnp.full((grp, 128), np.uint32(int(ctx.one_mont_np[j])), jnp.uint32)
+            for j in range(NLIMBS)]
+
+    def body(j, acc):
+        acc = lk.mont_mul_cols(acc, acc, p_limbs, n0)
+        withx = lk.mont_mul_cols(acc, x, p_limbs, n0)
+        bit = bits_ref[j]
+        return [jnp.where(bit != 0, a, b) for a, b in zip(withx, acc)]
+
+    acc = lax.fori_loop(0, nbits, body, acc0)
+    _store_t(o_ref, lk.cond_sub_p(acc, p_limbs))
+
+
+import numpy as np
+
+
+def fermat_inv_pallas(x, ctx=None):
+    """Batched modular inverse x^(p-2) on [m, 16] Montgomery arrays (m %
+    128 == 0) via a single rolled-loop kernel; 0 maps to 0 like fj.inv.
+    Canonical output.  Falls back to fj.inv off-TPU."""
+    from cap_tpu.ops import field_jax as fj
+
+    ctx = ctx or fj.FR_CTX
+    m = x.shape[0]
+    if not use_pallas() or m % 128 != 0:
+        return fj.inv(x, ctx)
+    e = ctx.p_int - 2
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        [(e >> (nbits - 1 - j)) & 1 for j in range(nbits)], jnp.int32
+    )
+    n128 = m // 128
+    grp = _grp_for(n128)
+    spec = pl.BlockSpec((grp, NLIMBS, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_fermat_kernel, ctx_name=ctx.name, nbits=nbits),
+        grid=(n128 // grp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n128, NLIMBS, 128), jnp.uint32),
+    )(bits, to_limb_major(x))
+    return from_limb_major(out)
+
+
+def inv_elem(x, ctx=None):
+    """Inverse of a small [m, 16] batch (any m): pads to one 128-lane tile
+    for the rolled Fermat kernel; scan Fermat off-TPU."""
+    from cap_tpu.ops import field_jax as fj
+
+    ctx = ctx or fj.FR_CTX
+    m = x.shape[0]
+    if not use_pallas():
+        return fj.inv(x, ctx)
+    mp = ((m + 127) // 128) * 128
+    xp = jnp.concatenate(
+        [x, jnp.broadcast_to(jnp.asarray(ctx.one_mont_np), (mp - m, NLIMBS))],
+        axis=0,
+    )
+    return fermat_inv_pallas(xp, ctx)[:m]
+
+
 def ec_add_mixed_pallas(acc, g_affine, mask):
     """acc: (x,y,z) [N,16] projective; g_affine: (x,y) [N,16]; mask [N] uint32
     (0 -> keep acc).  Returns new (x,y,z) in [N,16] layout (redundant)."""

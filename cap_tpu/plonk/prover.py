@@ -432,7 +432,9 @@ def _kernels(n: int, mesh=None, engine: str = "signed"):
             fmul = _fast_mul(n)
             pnum = fj.prefix_prod(num, mul=fmul)
             sden = fj.suffix_prod(den, mul=fmul)
-        total_inv = fj.inv(sden[:1])
+        # rolled-loop Pallas Fermat: the scan-based fj.inv held ~35 ms of
+        # every round-2 program on this runtime (round-5 measurement)
+        total_inv = pfl.inv_elem(sden[:1])
         z_main = fj.mont_mul(fj.mont_mul(pnum[:-1], sden[1:]), total_inv)
         z_evals = jnp.concatenate([fj.one_mont((1,)), z_main], axis=0)
         zc = intt(z_evals, dom, mxu=intt_tabs)
@@ -1143,6 +1145,9 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             _mont(alpha), _mont(beta), _mont(gamma),
             _row_consts_dev(n), mxu["intt_n"], mxu["fwd_n"],
         )
+        # one bundled fetch: a separate bool(tail_ok) read costs a full
+        # ~29 ms tunnel round trip on this runtime
+        c3, tail_ok = jax.device_get((c3, tail_ok))
         t_comms = msg_mod.points_from_batch_result(c3)
     elif mesh_fused:
         t_chunks, tail_ok, c3 = K.round3_mesh(
@@ -1151,6 +1156,7 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
             pk.inv_zh_coset,
             _mont(alpha), _mont(beta), _mont(gamma),
         )
+        c3, tail_ok = jax.device_get((c3, tail_ok))
         t_comms = pm_mod.combine_parts_host(np.asarray(c3), 5)
     else:
         t_chunks, t_plain, tail_ok = K.quotient_phase(
