@@ -123,6 +123,13 @@ def bench_note(kind: str, reps: int):
             except Exception as e:
                 _log(f"pk store failed (non-fatal): {e}")
         _log("transfer pk ready")
+        # parallel program warm-up: pre-dispatch every per-round program
+        # (threads) while the signed table loads/uploads — the sequential
+        # first-prove warm-up paid ~850 s of serial per-program setup
+        from cap_tpu.plonk.warm import warm_prover
+
+        dt = warm_prover(pk.plonk_pk, srs, verbose=True)
+        _log(f"prover programs warm ({dt:.0f}s)")
         builder = lambda: TransferParamsBuilder(rng, 2, 2, depth, non_native=True,
                                                 with_viewer=True)
         gen = lambda b: b.build_transfer_note(pk)[0]

@@ -156,3 +156,60 @@ def bytes_to_words(data: bytes):
 def words_to_bytes(words) -> bytes:
     """Host helper (after device->host transfer): u32 words -> bytes."""
     return np.asarray([int(w) for w in words], dtype="<u4").tobytes()
+
+
+def keccak256_bytes_arr(msg_u8, byte_len: int):
+    """Keccak-256 over a BYTE stream held as a [L] uint32 array (one byte
+    per element, values < 256); `byte_len` = L is static.  Returns 8 scalar
+    u32 words.
+
+    Unlike `keccak256_words` (scalar word lists, trace size proportional to
+    message length), the absorb loop here is a `fori_loop` over rate
+    blocks with ONE traced permutation — the device SolidityTranscript
+    re-hashes its whole append-only buffer (a few KB by round 5) on every
+    challenge, which would explode the trace in scalar-list form.
+    """
+    from jax import lax
+
+    assert msg_u8.shape == (byte_len,)
+    rate_bytes = RATE_WORDS * 4
+    rem = byte_len % rate_bytes
+    padlen = rate_bytes - rem
+    pad = np.zeros(padlen, np.uint32)
+    pad[0] = 0x01
+    pad[-1] |= 0x80
+    padded = jnp.concatenate([msg_u8, jnp.asarray(pad)])
+    b4 = padded.reshape(-1, 4)
+    words = (
+        b4[:, 0]
+        | (b4[:, 1] << np.uint32(8))
+        | (b4[:, 2] << np.uint32(16))
+        | (b4[:, 3] << np.uint32(24))
+    )
+    nblocks = words.shape[0] // RATE_WORDS
+
+    def body(i, lanes):
+        lo, hi = lanes
+        block = lax.dynamic_slice(words, (i * RATE_WORDS,), (RATE_WORDS,))
+        pairs = []
+        for j in range(25):
+            l, h = lo[j], hi[j]
+            if 2 * j < RATE_WORDS:
+                l = l ^ block[2 * j]
+            if 2 * j + 1 < RATE_WORDS:
+                h = h ^ block[2 * j + 1]
+            pairs.append((l, h))
+        out = keccak_f1600_device(pairs)
+        return (jnp.stack([p[0] for p in out]), jnp.stack([p[1] for p in out]))
+
+    z25 = jnp.zeros(25, jnp.uint32)
+    lo, hi = lax.fori_loop(0, nblocks, body, (z25, z25))
+    return [lo[0], hi[0], lo[1], hi[1], lo[2], hi[2], lo[3], hi[3]]
+
+
+def words8_to_bytes_arr(words):
+    """8 scalar u32 words -> [32] uint32 byte array (LE)."""
+    w = jnp.stack(words)
+    return jnp.stack(
+        [(w >> np.uint32(8 * i)) & np.uint32(0xFF) for i in range(4)], axis=1
+    ).reshape(-1)

@@ -915,34 +915,7 @@ def preprocess_from_arrays(
     K = _kernels(n)
     _pkmark("kernels")
     p = FR.p
-
-    to_coeffs = jax.jit(jax.vmap(lambda e: intt(e, K.dom)))
-    sel_coeffs = to_coeffs(sel_evals)
-    sigma_coeffs = to_coeffs(sigma_evals)
-    _pkmark("to_coeffs", sel_coeffs, sigma_coeffs)
-
-    # commitments (18 at once) unless supplied from a stored key
-    if comms is None:
-        allc = jnp.concatenate([sel_coeffs, sigma_coeffs], axis=0)
-        plain = jax.jit(fj.from_mont)(allc)
-        host_comms = commit_batch(srs, plain)
-        selector_comms = {name: host_comms[i] for i, name in enumerate(SELECTORS)}
-        sigma_comms = host_comms[13:18]
-    else:
-        selector_comms, sigma_comms = comms
-
-    # coset tables
     m8 = 8 * n
-    pad8 = jax.jit(
-        jax.vmap(
-            lambda c: coset_ntt(
-                jnp.concatenate([c, jnp.zeros((m8 - n, NLIMBS), jnp.uint32)]), K.dom8, K.g
-            )
-        )
-    )
-    sel_coset = pad8(sel_coeffs)
-    sigma_coset = pad8(sigma_coeffs)
-    _pkmark("coset tables", sel_coset, sigma_coset)
 
     # identity-permutation values k_j * x on H and on the coset, plus the
     # coset Z_H^-1 and L1 tables — all derived ON DEVICE from a handful of
@@ -957,10 +930,26 @@ def preprocess_from_arrays(
     n_inv = pow(n, -1, p)
 
     @jax.jit
-    def _derived_tables(omega_m, omega8g_first_m, omega8_m, ks_m,
-                        zh_ninv8_m, inv_zh8_m):
-        """(ks_x [5,n,16], ks_x_coset [5,8n,16], coset_x [8n,16],
-        l1_coset [8n,16], inv_zh_coset [8n,16]) from scalar seeds."""
+    def _pk_tables(sel_evals, sigma_evals, omega_m, omega8g_first_m,
+                   omega8_m, ks_m, zh_ninv8_m, inv_zh8_m):
+        """ONE program for the whole pk-load device pipeline: selector /
+        sigma iNTTs, 8n coset tables, and the derived ks_x / coset-x / L1 /
+        Z_H^-1 tables from scalar seeds.  A single program matters on this
+        runtime: every distinct jitted program costs ~40-70 s of per-process
+        setup (axon cached-binary load), so the round-4 three-program load
+        path paid ~170 s before any device work."""
+        to_c = jax.vmap(lambda e: intt(e, K.dom))
+        sel_coeffs = to_c(sel_evals)
+        sigma_coeffs = to_c(sigma_evals)
+
+        def pad8(c):
+            return coset_ntt(
+                jnp.concatenate([c, jnp.zeros((m8 - n, NLIMBS), jnp.uint32)]),
+                K.dom8, K.g,
+            )
+
+        sel_coset = jax.vmap(pad8)(sel_coeffs)
+        sigma_coset = jax.vmap(pad8)(sigma_coeffs)
 
         def pows(first, step, length):
             # geometric ladder: arr ++ arr * step^len(arr)
@@ -982,15 +971,28 @@ def preprocess_from_arrays(
         num = jnp.tile(zh_ninv8_m, (m8 // 8, 1))
         l1 = fj.mont_mul(num, dinv)
         izh = jnp.tile(inv_zh8_m, (m8 // 8, 1))
-        return ks_x, ks_x8, xs8, l1, izh
+        return (sel_coeffs, sigma_coeffs, sel_coset, sigma_coset,
+                ks_x, ks_x8, xs8, l1, izh)
 
-    ks_x, ks_x_coset, coset_x, l1_coset, inv_zh_coset = _derived_tables(
+    (sel_coeffs, sigma_coeffs, sel_coset, sigma_coset, ks_x, ks_x_coset,
+     coset_x, l1_coset, inv_zh_coset) = _pk_tables(
+        sel_evals, sigma_evals,
         _mont(K.dom.omega), _mont(K.g), _mont(K.dom8.omega),
         _mont_many(ks),
         _mont_many([z * n_inv % p for z in zh8]),
         _mont_many(inv_zh8),
     )
-    _pkmark("derived tables", ks_x, ks_x_coset, l1_coset)
+    _pkmark("pk tables (one program)", sel_coset, l1_coset)
+
+    # commitments (18 at once) unless supplied from a stored key
+    if comms is None:
+        allc = jnp.concatenate([sel_coeffs, sigma_coeffs], axis=0)
+        plain = jax.jit(fj.from_mont)(allc)
+        host_comms = commit_batch(srs, plain)
+        selector_comms = {name: host_comms[i] for i, name in enumerate(SELECTORS)}
+        sigma_comms = host_comms[13:18]
+    else:
+        selector_comms, sigma_comms = comms
 
     vk = VerifyingKey(
         n=n, num_pub=num_pub, wire_ks=list(ks),
@@ -1059,6 +1061,15 @@ def prove(rng, pk: ProvingKey, witness_values, pub_inputs, ext_msg: bytes | None
     # mesh-fused rounds (VERDICT r4 item 5): one program per FS round on
     # the mesh too, window partials combined on the host
     mesh_fused = mesh_obj is not None and engine in ("signed", "affine")
+    if (
+        fused_rounds
+        and os.environ.get("CAP_ASYNC", "0") == "1"
+        and os.environ.get("CAP_TRANSCRIPT", "solidity") == "solidity"
+    ):
+        # device-resident Fiat-Shamir: 4 chained programs, one host sync
+        from cap_tpu.plonk.prover_async import prove_async
+
+        return prove_async(rng, pk, witness_values, pub_inputs, ext_msg)
     if fused_rounds:
         tab = signed_table(srs, n + 3)
     elif mesh_fused:

@@ -14,8 +14,8 @@ import os
 import sys
 import time
 
-os.environ.setdefault("PYTHONHASHSEED", "0")
 if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import jax

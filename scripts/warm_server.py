@@ -14,8 +14,12 @@ import sys
 import time
 import traceback
 
-os.environ.setdefault("PYTHONHASHSEED", "0")
+# NOTE: setdefault is NOT enough — the interpreter's str hash seed is fixed
+# at startup, so the env var must be set BEFORE python launches (re-exec).
+# A setdefault version of this ran the round-5 warm server with a random
+# seed and recompiled every program under throwaway cache keys.
 if os.environ.get("PYTHONHASHSEED") != "0":
+    os.environ["PYTHONHASHSEED"] = "0"
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import jax
