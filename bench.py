@@ -67,6 +67,37 @@ RUST_BASELINE_TRANSFER_RANGE = (0.9, 1.8)
 RUST_BASELINE_TRANSFER_S = 1.35          # midpoint
 RUST_BASELINE_MINT_S = 0.6               # domain 2^14 ~ half the transfer cost
 RUST_BASELINE_FREEZE_S = 0.6
+# throughput baseline DERIVED from the same estimate (VERDICT r4 weak #4):
+# serial Rust at the 1.35 s midpoint = 0.74 proofs/s (range 0.56-1.11);
+# the reference has no cross-proof pipelining (rayon parallelizes WITHIN a
+# prove), so serial prove rate is the honest comparator.
+RUST_BASELINE_TRANSFER_PPS = 1.0 / RUST_BASELINE_TRANSFER_S
+# batch-verify baseline: per-note cost of the reference's folded
+# batch_verify = one multi-pairing share (~2 ms amortized) + the per-note
+# linearization MSM (~40 points, ~3-10 ms multicore arkworks) ~ 5-15 ms;
+# midpoint 10 ms/note (BASELINE.md "derived estimate" framework).
+RUST_BASELINE_BATCH_VERIFY_PER_NOTE_S = 0.010
+
+
+def _pick_msm_window() -> None:
+    """Opt into the wider c=11 window when its digit table is already on
+    disk (round 5: 24 windows instead of 26, -7.7% point adds; the 2.2 GB
+    table costs ~8 min to build once, so a cold host stays at the c=10
+    default and never pays the build inside the driver budget).  Must run
+    BEFORE cap_tpu.ops.msm_signed is imported (module-level constants)."""
+    import glob
+
+    if os.environ.get("CAP_MSM_C"):
+        return
+    tdir = os.environ.get("CAP_MSM_TABLE_DIR", "data/msm_tables")
+    hits = glob.glob(os.path.join(tdir, "signed_v*_c11_m*.npy"))
+    if hits:
+        _log("cached c=11 table found; using CAP_MSM_C=11")
+        os.environ["CAP_MSM_C"] = "11"
+        if any("_m33792_" in h for h in hits) and not os.environ.get(
+            "CAP_MSM_WCHUNK"
+        ):
+            os.environ["CAP_MSM_WCHUNK"] = "1024"
 
 
 def _pick_msm_engine() -> None:
@@ -86,6 +117,7 @@ def _pick_msm_engine() -> None:
 
 
 def bench_note(kind: str, reps: int):
+    _pick_msm_window()  # BEFORE any cap_tpu import (module-level constants)
     from cap_tpu.proof import (
         freeze as fproof,
         mint as mproof,
@@ -299,7 +331,9 @@ def bench_batch_verify(reps: int):
         "metric": "mixed_batch_verify_3notes_seconds",
         "value": round(per, 3),
         "unit": "seconds",
-        "vs_baseline": round(0.03 / (per / 3), 3),  # vs ~30ms/note CPU batch
+        "vs_baseline": round(
+            RUST_BASELINE_BATCH_VERIFY_PER_NOTE_S / (per / 3), 3
+        ),
     }
 
 
@@ -307,7 +341,9 @@ def bench_throughput(reps: int):
     """Pipelined multi-proof throughput on one chip (parallel/queue.py):
     host witness prep of note i+1 overlaps device proving of note i.
     Metric: transfer proofs/s over a queue of `reps`+1 notes (first is
-    warm-up).  Baseline: serial Rust at ~2.0 s/proof = 0.5 proofs/s."""
+    warm-up).  Baseline: serial Rust at the derived 1.35 s midpoint
+    (RUST_BASELINE_TRANSFER_PPS; BASELINE.md)."""
+    _pick_msm_window()
     from cap_tpu.parallel.queue import (
         assemble_transfer_notes, prove_pipelined, transfer_note_task,
     )
@@ -356,7 +392,7 @@ def bench_throughput(reps: int):
         "metric": "transfer_pipelined_proofs_per_s",
         "value": round(pps, 3),
         "unit": "proofs/s",
-        "vs_baseline": round(pps / 0.5, 3),
+        "vs_baseline": round(pps / RUST_BASELINE_TRANSFER_PPS, 3),
     }
 
 
