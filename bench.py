@@ -424,6 +424,9 @@ def bench_grid(reps: int):
 def main():
     kind = os.environ.get("CAP_BENCH", "transfer")
     reps = int(os.environ.get("CAP_BENCH_REPS", "3"))
+    # async device-transcript prover by default: byte-identical proofs
+    # (scripts/probe_async.py), ~60 ms faster per prove (one host sync)
+    os.environ.setdefault("CAP_ASYNC", "1")
     # MSM window width stays at the library default c=10.  c=12 was tried
     # for single-shape runs (-15% point adds) but its 4.3 GB digit table
     # next to the prover's live set exhausts this runtime's usable HBM —
