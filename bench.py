@@ -80,24 +80,12 @@ RUST_BASELINE_BATCH_VERIFY_PER_NOTE_S = 0.010
 
 
 def _pick_msm_window() -> None:
-    """Opt into the wider c=11 window when its digit table is already on
-    disk (round 5: 24 windows instead of 26, -7.7% point adds; the 2.2 GB
-    table costs ~8 min to build once, so a cold host stays at the c=10
-    default and never pays the build inside the driver budget).  Must run
-    BEFORE cap_tpu.ops.msm_signed is imported (module-level constants)."""
-    import glob
-
-    if os.environ.get("CAP_MSM_C"):
-        return
-    tdir = os.environ.get("CAP_MSM_TABLE_DIR", "data/msm_tables")
-    hits = glob.glob(os.path.join(tdir, "signed_v*_c11_m*.npy"))
-    if hits:
-        _log("cached c=11 table found; using CAP_MSM_C=11")
-        os.environ["CAP_MSM_C"] = "11"
-        if any("_m33792_" in h for h in hits) and not os.environ.get(
-            "CAP_MSM_WCHUNK"
-        ):
-            os.environ["CAP_MSM_WCHUNK"] = "1024"
+    """Round-5 A/B verdict: c=11 + WCHUNK=1024 (24 windows instead of 26,
+    3% pad waste instead of 6%) measured NEUTRAL end-to-end — 1.118 s vs
+    1.116 s at the headline shape — because the -8% window-adds are repaid
+    by doubled chunk-step count overheads.  c=10/W=2048 stays the default;
+    opt in explicitly with CAP_MSM_C / CAP_MSM_WCHUNK."""
+    return
 
 
 def _pick_msm_engine() -> None:
@@ -362,6 +350,10 @@ def bench_throughput(reps: int):
         pk = params.load_transfer_proving_key(2, 2, depth)
     except Exception:
         pk, _vk = tproof.preprocess(srs, 2, 2, depth)
+    from cap_tpu.plonk.warm import warm_prover
+
+    dt = warm_prover(pk.plonk_pk, srs, verbose=True)
+    _log(f"prover programs warm ({dt:.0f}s)")
 
     def build_prepare(rng):
         b = TransferParamsBuilder(rng, 2, 2, depth, non_native=True,
