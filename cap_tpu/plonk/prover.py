@@ -929,27 +929,12 @@ def preprocess_from_arrays(
     inv_zh8 = FR.batch_inv(zh8)
     n_inv = pow(n, -1, p)
 
-    @jax.jit
-    def _pk_tables(sel_evals, sigma_evals, omega_m, omega8g_first_m,
-                   omega8_m, ks_m, zh_ninv8_m, inv_zh8_m):
-        """ONE program for the whole pk-load device pipeline: selector /
-        sigma iNTTs, 8n coset tables, and the derived ks_x / coset-x / L1 /
-        Z_H^-1 tables from scalar seeds.  A single program matters on this
-        runtime: every distinct jitted program costs ~40-70 s of per-process
-        setup (axon cached-binary load), so the round-4 three-program load
-        path paid ~170 s before any device work."""
-        to_c = jax.vmap(lambda e: intt(e, K.dom))
-        sel_coeffs = to_c(sel_evals)
-        sigma_coeffs = to_c(sigma_evals)
-
-        def pad8(c):
-            return coset_ntt(
-                jnp.concatenate([c, jnp.zeros((m8 - n, NLIMBS), jnp.uint32)]),
-                K.dom8, K.g,
-            )
-
-        sel_coset = jax.vmap(pad8)(sel_coeffs)
-        sigma_coset = jax.vmap(pad8)(sigma_coeffs)
+    def _pk_tables_derived(omega_m, omega8g_first_m, omega8_m, ks_m,
+                           zh_ninv8_m, inv_zh8_m):
+        """Derived tables (ks_x [5,n,16], ks_x_coset [5,8n,16], coset_x
+        [8n,16], l1_coset [8n,16], inv_zh_coset [8n,16]) from scalar seeds
+        — ON DEVICE (the round-4 host version looped ~2M Python bigint
+        muls + ~180 MB of tunnel uploads)."""
 
         def pows(first, step, length):
             # geometric ladder: arr ++ arr * step^len(arr)
@@ -971,18 +956,75 @@ def preprocess_from_arrays(
         num = jnp.tile(zh_ninv8_m, (m8 // 8, 1))
         l1 = fj.mont_mul(num, dinv)
         izh = jnp.tile(inv_zh8_m, (m8 // 8, 1))
-        return (sel_coeffs, sigma_coeffs, sel_coset, sigma_coset,
-                ks_x, ks_x8, xs8, l1, izh)
+        return ks_x, ks_x8, xs8, l1, izh
 
-    (sel_coeffs, sigma_coeffs, sel_coset, sigma_coset, ks_x, ks_x_coset,
-     coset_x, l1_coset, inv_zh_coset) = _pk_tables(
-        sel_evals, sigma_evals,
+    @jax.jit
+    def _pk_tables(sel_evals, sigma_evals, omega_m, omega8g_first_m,
+                   omega8_m, ks_m, zh_ninv8_m, inv_zh8_m):
+        """ONE program for the whole pk-load device pipeline: selector /
+        sigma iNTTs, 8n coset tables, and the derived tables.  A single
+        program matters on this runtime: every distinct jitted program
+        costs ~40-70 s of per-process setup (axon cached-binary load), so
+        the round-4 three-program load path paid ~170 s before any device
+        work."""
+        to_c = jax.vmap(lambda e: intt(e, K.dom))
+        sel_coeffs = to_c(sel_evals)
+        sigma_coeffs = to_c(sigma_evals)
+
+        def pad8(c):
+            return coset_ntt(
+                jnp.concatenate([c, jnp.zeros((m8 - n, NLIMBS), jnp.uint32)]),
+                K.dom8, K.g,
+            )
+
+        sel_coset = jax.vmap(pad8)(sel_coeffs)
+        sigma_coset = jax.vmap(pad8)(sigma_coeffs)
+        return (sel_coeffs, sigma_coeffs, sel_coset, sigma_coset,
+                *_pk_tables_derived(omega_m, omega8g_first_m, omega8_m,
+                                    ks_m, zh_ninv8_m, inv_zh8_m))
+
+    _seeds = (
         _mont(K.dom.omega), _mont(K.g), _mont(K.dom8.omega),
         _mont_many(ks),
         _mont_many([z * n_inv % p for z in zh8]),
         _mont_many(inv_zh8),
     )
-    _pkmark("pk tables (one program)", sel_coset, l1_coset)
+    if jax.default_backend() == "cpu":
+        # split flow off-TPU: the one-program pipeline's peak working set
+        # (all coeff+coset+derived tables live in one XLA program) aborts
+        # XLA:CPU allocation late in a long full-suite process; three
+        # smaller programs let intermediates free between stages.  On TPU
+        # the single program is the point (~40-70 s per-process setup per
+        # program on this runtime).
+        to_c = jax.jit(jax.vmap(lambda e: intt(e, K.dom)))
+        sel_coeffs = to_c(sel_evals)
+        sigma_coeffs = to_c(sigma_evals)
+
+        def _pad8one(c):
+            return coset_ntt(
+                jnp.concatenate([c, jnp.zeros((m8 - n, NLIMBS), jnp.uint32)]),
+                K.dom8, K.g,
+            )
+
+        pad8 = jax.jit(jax.vmap(_pad8one))
+        sel_coset = pad8(sel_coeffs)
+        sigma_coset = pad8(sigma_coeffs)
+
+        @jax.jit
+        def _derived(omega_m, omega8g_first_m, omega8_m, ks_m, zh_ninv8_m,
+                     inv_zh8_m):
+            return _pk_tables_derived(
+                omega_m, omega8g_first_m, omega8_m, ks_m, zh_ninv8_m,
+                inv_zh8_m,
+            )
+
+        ks_x, ks_x_coset, coset_x, l1_coset, inv_zh_coset = _derived(*_seeds)
+    else:
+        (sel_coeffs, sigma_coeffs, sel_coset, sigma_coset, ks_x, ks_x_coset,
+         coset_x, l1_coset, inv_zh_coset) = _pk_tables(
+            sel_evals, sigma_evals, *_seeds
+        )
+    _pkmark("pk tables", sel_coset, l1_coset)
 
     # commitments (18 at once) unless supplied from a stored key
     if comms is None:
